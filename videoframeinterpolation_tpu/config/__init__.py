@@ -1,0 +1,93 @@
+"""Typed experiment configuration (replaces the reference's untyped DotMap).
+
+The reference loads YAML into a DotMap where absent keys silently return
+falsy values (``utils/env.py:20-29``) — a footgun this rebuild replaces with
+an explicit dataclass: unknown YAML keys raise, absent keys get defaults.
+Field names match ``configs/DAT.yaml`` so reference configs load unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Optional, Sequence
+
+import yaml
+
+
+@dataclasses.dataclass
+class Config:
+    # Experiment identity
+    exp_name: str = "debug"
+    log_dir: str = ""          # derived: exps/<exp_name> when empty
+    seed: int = 42
+
+    # Model
+    model_name: str = "DATwConstantnCv1"
+    nf: int = 72
+    enc_res_blocks: int = 5
+    dec_res_blocks: int = 10
+    mlp_ratio: float = 2.0
+
+    # Losses
+    distill_lambda: Optional[float] = 0.01
+    geo_lambda: float = 0.01
+
+    # Data
+    data_name: str = "Vimeo90KwFlow"
+    root: str = "datasets/vimeo_triplet"
+    flow_dir: str = "flow"
+    distill_bwd: bool = True
+    crop_h: int = 256
+    crop_w: int = 256
+
+    # Training
+    num_epochs: int = 2000
+    batch_size: int = 12            # per host process
+    num_workers: int = 8
+
+    # Optimizer (warmup 2k steps, cosine start_lr -> end_lr at decay-end)
+    start_lr: float = 2.0e-4
+    end_lr: float = 1.0e-5
+    weight_decay: float = 1.0e-4
+    last_lr_decay_iter: int = 600_000
+
+    # Validation
+    valid_freq_epoch: int = 1
+    val_datasets: Sequence[str] = ("vimeo90k",)
+    save_best_benchmark: str = "vimeo90k"
+
+    # Logging / checkpoint cadence
+    img_summary_freq: int = 1000
+    metric_summary_freq: int = 100
+    save_latest_freq: int = 2000
+    save_every_freq_epoch: int = 25
+
+    # TPU-specific (no reference equivalent)
+    compute_dtype: str = "bfloat16"   # "bfloat16" | "float32"
+    data_axis: str = "data"           # mesh axis name for data parallelism
+    resume: Optional[str] = None
+
+    def __post_init__(self):
+        if not self.log_dir:
+            self.log_dir = str(Path("exps") / self.exp_name)
+        if isinstance(self.val_datasets, list):
+            self.val_datasets = tuple(self.val_datasets)
+
+    @classmethod
+    def from_yaml(cls, path: str | Path, **overrides: Any) -> "Config":
+        with open(path, "r") as f:
+            raw = yaml.safe_load(f) or {}
+        raw.update(overrides)
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(raw) - known
+        if unknown:
+            raise ValueError(f"unknown config keys in {path}: {sorted(unknown)}")
+        return cls(**raw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def save_yaml(self, path: str | Path) -> None:
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)

@@ -1,0 +1,189 @@
+"""Deformable cross-attention block — the flagship model's core op.
+
+Re-design of ``CrossDeformableAttentionBlockwFlow`` + ``Attn`` (reference
+``modules/deformable_attn.py``): for each query pixel of the intermediate
+frame, sample ``n_samples`` deformable locations per offset group from each
+source frame (flow-seeded, tanh-bounded residual offsets) and attend over the
+``2 * n_samples`` sampled values.
+
+TPU notes:
+  * The attention itself is tiny einsums over an ``S``-sized axis (S <= 64) —
+    pure MXU work once the samples are gathered; the gather is the hot part
+    and shares the :func:`...ops.interp.grid_sample` primitive.
+  * Sampling coordinates are kept in *pixel* units end to end. The reference
+    normalizes x by ``(W-1)*2`` but y by ``(H-1)/2`` when building its
+    grid (``modules/deformable_attn.py:94-95``) — a scale asymmetry we do
+    not reproduce; offsets here mean pixels in both axes.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import bwarp, grid_sample, scale_resize
+from .blocks import (
+    ConvPReLU,
+    FeedForward,
+    HalfChannelConv5ResBlock,
+    PReLU,
+    conv,
+    conv_transpose_x2,
+    torch_conv_init,
+    zero_init,
+)
+
+Array = jax.Array
+
+
+class SampleAttention(nn.Module):
+    """Per-pixel attention over S sampled key/values (``Attn``,
+    ``modules/deformable_attn.py:10-40``).
+
+    Query: ``(B, H, W, C)``; key/value: ``(B, S, H*W, C)``.
+    """
+
+    out_features: int
+    n_samples: int  # total S (both frames concatenated)
+    n_heads: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, q: Array, kv: Array) -> Array:
+        B, H, W, C = q.shape
+        nh = self.n_heads
+        hc = self.out_features // nh
+        scale = hc ** -0.5
+
+        qp = nn.Dense(self.out_features, kernel_init=torch_conv_init,
+                      dtype=self.dtype, name="q_proj")(q)
+        kp = nn.Dense(self.out_features, kernel_init=torch_conv_init,
+                      dtype=self.dtype, name="k_proj")(kv)
+        vp = nn.Dense(self.out_features, kernel_init=torch_conv_init,
+                      dtype=self.dtype, name="v_proj")(kv)
+
+        qp = qp.reshape(B, H * W, nh, hc)
+        kp = kp.reshape(B, self.n_samples, H * W, nh, hc)
+        vp = vp.reshape(B, self.n_samples, H * W, nh, hc)
+
+        attn = jnp.einsum(
+            "bnhc,bsnhc->bsnh", qp, kp, preferred_element_type=jnp.float32
+        ) * scale
+        attn = jax.nn.softmax(attn, axis=1).astype(vp.dtype)
+        out = jnp.einsum(
+            "bsnh,bsnhc->bnhc", attn, vp, preferred_element_type=jnp.float32
+        )
+        return out.reshape(B, H, W, self.out_features).astype(q.dtype)
+
+
+def _grouped_deformable_sample(
+    feat: Array, ref_offsets: Array, n_groups: int
+) -> Array:
+    """Sample grouped features at per-group deformable locations.
+
+    Args:
+      feat: ``(B, H, W, C)`` source-frame features; channels split into
+        ``n_groups`` groups.
+      ref_offsets: ``(B, H, W, G, S, 2)`` pixel displacements ``(dx, dy)``
+        relative to each query pixel.
+
+    Returns:
+      ``(B, S, H*W, C)`` sampled key/value tensor (zeros out of bounds,
+      matching ``F.grid_sample`` defaults at ``modules/deformable_attn.py:99``).
+    """
+    B, H, W, C = feat.shape
+    G = n_groups
+    S = ref_offsets.shape[4]
+    Cg = C // G
+
+    gy, gx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    base = jnp.stack([gx, gy], axis=-1)  # (H, W, 2)
+    coords = base[None, :, :, None, None, :] + ref_offsets.astype(jnp.float32)
+
+    feat_g = feat.reshape(B, H, W, G, Cg).transpose(0, 3, 1, 2, 4).reshape(
+        B * G, H, W, Cg
+    )
+    coords_g = coords.transpose(0, 3, 4, 1, 2, 5).reshape(B * G, S, H, W, 2)
+    samples = grid_sample(feat_g, coords_g, padding_mode="zeros")
+    # (B*G, S, H, W, Cg) -> (B, S, H*W, G*Cg)
+    samples = samples.reshape(B, G, S, H, W, Cg).transpose(0, 2, 3, 4, 1, 5)
+    return samples.reshape(B, S, H * W, C)
+
+
+class CrossDeformableAttentionBlock(nn.Module):
+    """Deformable cross-attention over both source frames, with optional
+    next-level flow prediction (``CrossDeformableAttentionBlockwFlow``,
+    ``modules/deformable_attn.py:43-124``)."""
+
+    features: int
+    out_features: int
+    n_samples: int = 9
+    n_groups: int = 12
+    n_heads: int = 12
+    mlp_ratio: float = 2.0
+    offset_scale: float = 2.0
+    pred_res_flow: bool = True
+    dtype: Any = None
+
+    def setup(self):
+        c = self.features
+        self.movement_conv1 = ConvPReLU(c * 2, dtype=self.dtype)
+        self.movement_conv2 = ConvPReLU(c, dtype=self.dtype)
+        self.movement_res = HalfChannelConv5ResBlock(c, c // 2, dtype=self.dtype)
+        self.conv_res_offset = conv(
+            self.n_groups * self.n_samples * 2,
+            kernel_init=zero_init, bias_init=zero_init, dtype=self.dtype,
+            name="conv_res_offset",
+        )
+        if self.pred_res_flow:
+            self.conv_res_flow = conv_transpose_x2(2, dtype=self.dtype)
+        self.attn = SampleAttention(
+            self.out_features, self.n_samples * 2, self.n_heads, dtype=self.dtype
+        )
+        self.mlp = FeedForward(
+            int(self.out_features * self.mlp_ratio), self.out_features,
+            dtype=self.dtype,
+        )
+
+    def _movement_feats(self, feat_t: Array, feat_x: Array, ftx: Array) -> Array:
+        feat_t_from_x = bwarp(feat_x, ftx)
+        h = jnp.concatenate([feat_t, feat_t_from_x, ftx], axis=-1)
+        h = self.movement_conv1(h)
+        h = self.movement_conv2(h)
+        return self.movement_res(h)
+
+    def _ref_offsets(self, ftx: Array, movement_feat: Array) -> Array:
+        B, H, W, _ = ftx.shape
+        res = self.offset_scale * jnp.tanh(self.conv_res_offset(movement_feat))
+        res = res.reshape(B, H, W, self.n_groups, self.n_samples, 2)
+        return res + ftx[:, :, :, None, None, :]
+
+    def __call__(
+        self, feat_t: Array, feat0: Array, feat1: Array, ft0: Array, ft1: Array
+    ):
+        mv0 = self._movement_feats(feat_t, feat0, ft0)
+        off0 = self._ref_offsets(ft0, mv0)
+        kv0 = _grouped_deformable_sample(feat0, off0, self.n_groups)
+
+        mv1 = self._movement_feats(feat_t, feat1, ft1)
+        off1 = self._ref_offsets(ft1, mv1)
+        kv1 = _grouped_deformable_sample(feat1, off1, self.n_groups)
+
+        attended = self.attn(feat_t, jnp.concatenate([kv0, kv1], axis=1))
+        out = attended + self.mlp(attended)
+
+        if not self.pred_res_flow:
+            return out
+
+        # Next-level flows: transposed-conv residual on top of 2x-upsampled,
+        # 2x-magnified current flow (modules/deformable_attn.py:118-123).
+        up_ft0 = self.conv_res_flow(mv0) + 2.0 * scale_resize(ft0, 2.0)
+        up_ft1 = self.conv_res_flow(mv1) + 2.0 * scale_resize(ft1, 2.0)
+        return out, up_ft0, up_ft1

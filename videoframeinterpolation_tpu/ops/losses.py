@@ -84,6 +84,7 @@ def geometry_loss(x: Array, y: Array, patch_size: int = 3) -> Array:
 
     Neither side is detached (used feature-vs-feature, both live).
     """
+    assert x.shape == y.shape, (x.shape, y.shape)
     B, H, W, C = x.shape
 
     def transform(t):
