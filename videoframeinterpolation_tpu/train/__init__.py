@@ -1,0 +1,16 @@
+"""Training loop, state, schedule, and checkpointing."""
+
+from .schedule import make_schedule, warmup_cosine_lr
+from .state import TrainState, create_optimizer, create_train_state
+from .step import make_inference_fn, make_loss_fn, make_train_step
+
+__all__ = [
+    "make_schedule",
+    "warmup_cosine_lr",
+    "TrainState",
+    "create_optimizer",
+    "create_train_state",
+    "make_inference_fn",
+    "make_loss_fn",
+    "make_train_step",
+]

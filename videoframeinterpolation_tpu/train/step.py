@@ -1,0 +1,92 @@
+"""Jitted training / inference steps over a data-parallel mesh.
+
+One compiled XLA program per step: forward, loss, backward, AdamW update.
+Parameters are replicated, the batch is sharded on its leading axis; XLA
+inserts the gradient all-reduce over the mesh's ICI links (the TPU
+equivalent of DDP's bucketed NCCL all-reduce, ``Trainer.py:75``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..models.dat import DATwConstantnC, dat_loss
+from ..models.ifrnet import IFRNet, ifrnet_loss
+from ..parallel import batch_sharding, replicated_sharding
+from .state import TrainState
+
+
+def make_loss_fn(model, cfg: Config) -> Callable:
+    """Model-specific ``loss_fn(params, batch) -> (loss, log_dict)``."""
+    if isinstance(model, DATwConstantnC):
+
+        def loss_fn(params, batch):
+            pred, inter = model.apply(
+                params, batch["x0"], batch["x1"], batch["t"], train=True
+            )
+            return dat_loss(pred, inter, batch, cfg.distill_lambda)
+
+        return loss_fn
+
+    if isinstance(model, IFRNet):
+
+        def loss_fn(params, batch):
+            pred, inter = model.apply(
+                params, batch["x0"], batch["x1"], batch["t"], train=True
+            )
+            gt_feats = model.apply(
+                params, batch["xt"] - inter["mean"], method=IFRNet.encode
+            )
+            return ifrnet_loss(
+                pred, inter, batch, gt_feats,
+                geo_lambda=cfg.geo_lambda,
+                distill_lambda=(
+                    cfg.distill_lambda if cfg.distill_lambda is not None else 0.0
+                ),
+            )
+
+        return loss_fn
+
+    raise ValueError(f"no loss defined for model {type(model).__name__}")
+
+
+def make_train_step(model, cfg: Config, mesh) -> Callable:
+    """Compiled ``train_step(state, batch) -> (new_state, log_dict)``."""
+    loss_fn = make_loss_fn(model, cfg)
+
+    def train_step(state: TrainState, batch):
+        (loss, log), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, log
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_inference_fn(model, mesh=None) -> Callable:
+    """Compiled ``infer(params, x0, x1, t) -> pred`` (eval / serving path)."""
+
+    def infer(params, x0, x1, t):
+        return model.apply(params, x0, x1, t)
+
+    if mesh is None:
+        return jax.jit(infer)
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        infer,
+        in_shardings=(repl, data, data, data),
+        out_shardings=data,
+    )
