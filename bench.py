@@ -3,6 +3,13 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
+Methodology: this environment reaches the TPU through an RPC tunnel with
+~25 ms fixed dispatch+fetch overhead, and ``block_until_ready`` does not
+reliably fence device execution. We therefore measure *marginal* per-frame
+device time: run the forward pass N times inside one jitted ``fori_loop``
+(data-dependent chaining so nothing is elided), force completion with a
+scalar fetch, and report ``(T(N_hi) - T(N_lo)) / (N_hi - N_lo)``.
+
 Baseline: the reference README's closest published flagship-family number —
 DCNDATv1 at 0.048 s/frame on the author's research GPU (README.md:61-63;
 the active DATwConstantnCv1 itself has no published latency).
@@ -22,6 +29,36 @@ import jax.numpy as jnp
 BASELINE_MS = 48.0  # DCNDATv1 0.048 s/frame (README.md:61-63)
 
 
+def time_loop(forward, args, n_lo: int = 1, n_hi: int = 17, reps: int = 3):
+    """Marginal per-iteration device time of ``forward(*args)``.
+
+    ``forward``'s first argument is chained through iterations with an
+    epsilon perturbation so the loop cannot be collapsed.
+    """
+
+    def make(n):
+        @jax.jit
+        def f(x0, *rest):
+            def body(i, c):
+                out = forward(c, *rest)
+                return c + 1e-12 * out
+            return jnp.sum(jax.lax.fori_loop(0, n, body, x0))
+
+        return f
+
+    results = []
+    for n in (n_lo, n_hi):
+        f = make(n)
+        float(f(*args))  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(*args))
+            ts.append(time.perf_counter() - t0)
+        results.append(min(ts))
+    return (results[1] - results[0]) / (n_hi - n_lo)
+
+
 def main() -> None:
     from videoframeinterpolation_tpu.config import Config
     from videoframeinterpolation_tpu.models import create_model
@@ -37,21 +74,11 @@ def main() -> None:
 
     params = model.init(jax.random.key(0), x0[:, :32, :32], x1[:, :32, :32], t)
 
-    @jax.jit
     def forward(x0, x1, t):
         return model.apply(params, x0, x1, t)
 
-    # Warmup / compile.
-    forward(x0, x1, t).block_until_ready()
-
-    iters = 50
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        forward(x0, x1, t).block_until_ready()
-        times.append(time.perf_counter() - t0)
-
-    ms = float(np.median(times) * 1e3)
+    sec = time_loop(forward, (x0, x1, t))
+    ms = float(sec * 1e3)
     print(json.dumps({
         "metric": "dat_inference_448x256_ms_per_frame",
         "value": round(ms, 3),

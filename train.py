@@ -1,0 +1,43 @@
+"""Training CLI (reference ``train.py:135-151`` UX, TPU-native backend).
+
+Usage:
+  python train.py --exp_name my_exp --config configs/DAT.yaml [--resume latest]
+
+No ``torch.distributed.launch``: a single process drives every local TPU
+device through the mesh; multi-host runs call ``jax.distributed.initialize``
+when ``--multihost`` is passed.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="TPU-native VFI training")
+    parser.add_argument("--exp_name", default="debug", type=str)
+    parser.add_argument("--config", type=str, default="configs/DAT.yaml")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="checkpoint name under <log_dir>/checkpoints "
+                             "(e.g. 'latest')")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed for multi-host pods")
+    args = parser.parse_args()
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
+
+    from videoframeinterpolation_tpu.config import Config
+    from videoframeinterpolation_tpu.train.trainer import Trainer
+
+    cfg = Config.from_yaml(args.config, exp_name=args.exp_name)
+    trainer = Trainer(cfg)
+    if args.resume:
+        trainer.resume(args.resume)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()
