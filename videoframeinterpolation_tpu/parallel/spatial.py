@@ -1,0 +1,141 @@
+"""Spatially-tiled HD/4K inference (SURVEY.md section 5.7).
+
+The reference has no mechanism for frames larger than device memory; its
+only aid is padding to stride multiples (``data/__init__.py:6-20``). VFI's
+scale axis is spatial resolution, so this module implements the framework's
+"context parallelism": overlapping spatial tiles with feathered blending.
+
+Tiles become a batch axis, so the same 1-D data mesh that shards training
+batches shards HD tiles across chips — tile-parallel inference needs no new
+collectives. The overlap must cover the model's effective receptive
+footprint (flow magnitude + deformable offset bound per level;
+``modules/deformable_attn.py:83`` bounds residuals by offset_scale, flows
+are data-dependent — 64 px default covers typical Vimeo/SNU motion).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _tile_starts(size: int, tile: int, stride: int) -> list[int]:
+    """Start offsets covering [0, size) with the final tile right-aligned."""
+    if size <= tile:
+        return [0]
+    starts = list(range(0, size - tile, stride))
+    starts.append(size - tile)
+    return starts
+
+
+def _feather_1d(
+    size: int, overlap: int, trim: int, lo_interior: bool, hi_interior: bool
+) -> np.ndarray:
+    """Per-axis blend profile.
+
+    Boundary edges (frame border) keep full weight; interior (cut) edges get
+    ``trim`` zeroed pixels — whose values are polluted by the tile's implicit
+    padding — followed by a raised-cosine ramp across the rest of the
+    overlap.
+    """
+    w = np.ones(size, np.float32)
+    ramp_len = max(overlap - trim, 1)
+    ramp = 0.5 - 0.5 * np.cos(
+        np.pi * (np.arange(ramp_len, dtype=np.float32) + 0.5) / ramp_len
+    )
+    if lo_interior:
+        w[:trim] = 0.0
+        w[trim:trim + ramp_len] = ramp
+    if hi_interior:
+        w[size - trim:] = 0.0
+        w[size - trim - ramp_len:size - trim] = ramp[::-1]
+    return w
+
+
+def tiled_inference(
+    infer: Callable,
+    x0: Array,
+    x1: Array,
+    t: Array,
+    *,
+    tile_hw: tuple[int, int] = (256, 256),
+    overlap: int = 64,
+    tile_batch: int = 8,
+) -> Array:
+    """Run ``infer`` over overlapping spatial tiles and feather-blend.
+
+    Args:
+      infer: jitted ``(x0, x1, t) -> pred`` on NHWC batches; tiles are fed
+        in batches of ``tile_batch`` so a data-parallel mesh shards them.
+      x0, x1: ``(1, H, W, 3)`` frames (H, W arbitrary; tiles are padded to
+        the model's stride internally by the caller if needed).
+      t: ``(1, 1, 1, 1)``.
+      tile_hw: tile size (multiple of the model stride, 16).
+      overlap: per-edge overlap in pixels (also the blend feather width).
+
+    Returns:
+      ``(1, H, W, 3)`` blended prediction.
+    """
+    B, H, W, C = x0.shape
+    assert B == 1, "tile over one frame pair at a time"
+    th, tw = tile_hw
+    th, tw = min(th, H), min(tw, W)
+    stride_h, stride_w = th - overlap, tw - overlap
+
+    ys = _tile_starts(H, th, stride_h)
+    xs = _tile_starts(W, tw, stride_w)
+
+    coords = [(y, x) for y in ys for x in xs]
+    n = len(coords)
+
+    tiles0 = jnp.stack(
+        [jax.lax.dynamic_slice(x0[0], (y, x, 0), (th, tw, C))
+         for (y, x) in coords]
+    )
+    tiles1 = jnp.stack(
+        [jax.lax.dynamic_slice(x1[0], (y, x, 0), (th, tw, C))
+         for (y, x) in coords]
+    )
+
+    # Pad the tile batch to a multiple of tile_batch and run in chunks.
+    n_pad = (math.ceil(n / tile_batch) * tile_batch) - n
+    if n_pad:
+        tiles0 = jnp.concatenate([tiles0, tiles0[:n_pad]], axis=0)
+        tiles1 = jnp.concatenate([tiles1, tiles1[:n_pad]], axis=0)
+    tb = jnp.broadcast_to(t, (tile_batch, 1, 1, 1))
+
+    preds = []
+    for i in range(0, n + n_pad, tile_batch):
+        preds.append(infer(tiles0[i:i + tile_batch],
+                           tiles1[i:i + tile_batch], tb))
+    preds = jnp.concatenate(preds, axis=0)[:n]
+
+    ov = min(overlap, th // 2, tw // 2)
+    trim = ov // 4
+
+    acc = jnp.zeros((H, W, C), preds.dtype)
+    norm = jnp.zeros((H, W, 1), preds.dtype)
+    for k, (y, x) in enumerate(coords):
+        wy = _feather_1d(th, ov, trim, lo_interior=y > 0,
+                         hi_interior=y + th < H)
+        wx = _feather_1d(tw, ov, trim, lo_interior=x > 0,
+                         hi_interior=x + tw < W)
+        weight = jnp.asarray(wy[:, None] * wx[None, :], preds.dtype)[..., None]
+        acc = jax.lax.dynamic_update_slice(
+            acc,
+            jax.lax.dynamic_slice(acc, (y, x, 0), (th, tw, C))
+            + preds[k] * weight,
+            (y, x, 0),
+        )
+        norm = jax.lax.dynamic_update_slice(
+            norm,
+            jax.lax.dynamic_slice(norm, (y, x, 0), (th, tw, 1)) + weight,
+            (y, x, 0),
+        )
+    return (acc / norm)[None]
