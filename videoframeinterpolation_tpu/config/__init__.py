@@ -33,6 +33,11 @@ class Config:
     distill_lambda: Optional[float] = 0.01
     geo_lambda: float = 0.01
 
+    # Model-family specific (archive models)
+    m2m_branch: int = 5                      # M2M flow hypotheses
+    channels: Sequence[int] = (16, 32, 64)   # MADAT pyramid
+    depths: Sequence[int] = (3, 3, 3)        # MADAT pyramid depths
+
     # Data
     data_name: str = "Vimeo90KwFlow"
     root: str = "datasets/vimeo_triplet"
@@ -73,6 +78,10 @@ class Config:
             self.log_dir = str(Path("exps") / self.exp_name)
         if isinstance(self.val_datasets, list):
             self.val_datasets = tuple(self.val_datasets)
+        if isinstance(self.channels, list):
+            self.channels = tuple(self.channels)
+        if isinstance(self.depths, list):
+            self.depths = tuple(self.depths)
 
     @classmethod
     def from_yaml(cls, path: str | Path, **overrides: Any) -> "Config":

@@ -1,7 +1,9 @@
 """Model registry (reference ``models/__init__.py`` exposes models by name).
 
-Reference-compatible names are aliased so reference configs
-(``model_name: DATwConstantnCv1``) resolve unchanged.
+Reference-compatible names are aliased so reference configs resolve
+unchanged. The reference exports only the flagship; its 12 archived variants
+are registered here too as working rebuilds (the archive's broken imports
+are repaired — see each model module's docstring).
 """
 
 from __future__ import annotations
@@ -13,30 +15,62 @@ import jax.numpy as jnp
 from ..config import Config
 from .dat import DATwConstantnC, dat_loss
 from .ifrnet import IFRNet, ifrnet_loss
+from .m2m import GMM2M, IFRM2M, m2m_loss
+from .gmtrans import GMTrans, gmtrans_loss
+from .rstt import RSTT, rstt_loss
+from .dcntrans import DCNTrans, dcntrans_loss
+from .dcndat import DCNDAT, dcndat_loss
+from .madat import MADAT, madat_loss
 from . import base
 
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": None}
 
 
-def _build_dat(cfg: Config):
-    return DATwConstantnC(
-        nf=cfg.nf,
-        enc_res_blocks=cfg.enc_res_blocks,
-        dec_res_blocks=cfg.dec_res_blocks,
-        mlp_ratio=cfg.mlp_ratio,
-        dtype=_DTYPES[cfg.compute_dtype],
-    )
-
-
-def _build_ifrnet(cfg: Config):
-    return IFRNet(dtype=_DTYPES[cfg.compute_dtype])
+def _dt(cfg: Config):
+    return _DTYPES[cfg.compute_dtype]
 
 
 MODEL_REGISTRY: dict[str, Any] = {
-    "DATwConstantnC": _build_dat,
-    "DATwConstantnCv1": _build_dat,  # reference name (models/__init__.py:10)
-    "IFRNet": _build_ifrnet,
+    # flagship (the only model the reference exports, models/__init__.py:10)
+    "DATwConstantnC": lambda c: DATwConstantnC(
+        nf=c.nf, enc_res_blocks=c.enc_res_blocks,
+        dec_res_blocks=c.dec_res_blocks, mlp_ratio=c.mlp_ratio, dtype=_dt(c)),
+    # archive families (reference models/archive/)
+    "IFRNet": lambda c: IFRNet(dtype=_dt(c)),
+    "IFRM2M": lambda c: IFRM2M(n_branch=c.m2m_branch, dtype=_dt(c)),
+    "GMM2M": lambda c: GMM2M(n_branch=c.m2m_branch, dtype=_dt(c)),
+    "GMTrans": lambda c: GMTrans(dtype=_dt(c)),
+    "RSTT": lambda c: RSTT(dtype=_dt(c)),
+    "DCNTrans": lambda c: DCNTrans(
+        nf=c.nf, enc_res_blocks=c.enc_res_blocks,
+        dec_res_blocks=c.dec_res_blocks, mlp_ratio=c.mlp_ratio,
+        dtype=_dt(c)),
+    "DCNTransFwarp": lambda c: DCNTrans(
+        nf=c.nf, enc_res_blocks=c.enc_res_blocks,
+        dec_res_blocks=c.dec_res_blocks, mlp_ratio=c.mlp_ratio,
+        use_fwarp=True, dtype=_dt(c)),
+    "DCNDAT": lambda c: DCNDAT(
+        nf=c.nf, enc_res_blocks=c.enc_res_blocks,
+        dec_res_blocks=c.dec_res_blocks, mlp_ratio=c.mlp_ratio, dtype=_dt(c)),
+    "MADAT": lambda c: MADAT(channels=tuple(c.channels),
+                             depths=tuple(c.depths),
+                             mlp_ratio=c.mlp_ratio, dtype=_dt(c)),
 }
+
+# Reference model_name aliases (configs/*.yaml values).
+_ALIASES = {
+    "DATwConstantnCv1": "DATwConstantnC",
+    "IFRM2Mv1": "IFRM2M",
+    "GMM2Mv1": "GMM2M",
+    "GMTransv1": "GMTrans",
+    "RSTTv1": "RSTT",
+    "DCNTransv1": "DCNTrans",
+    "DCNTransv2": "DCNTransFwarp",
+    "DCNDATv1": "DCNDAT",
+    "MADATv1": "MADAT",
+}
+for alias, target in _ALIASES.items():
+    MODEL_REGISTRY[alias] = MODEL_REGISTRY[target]
 
 
 def create_model(cfg: Config):
@@ -52,8 +86,21 @@ def create_model(cfg: Config):
 __all__ = [
     "DATwConstantnC",
     "IFRNet",
+    "IFRM2M",
+    "GMM2M",
+    "GMTrans",
+    "RSTT",
+    "DCNTrans",
+    "DCNDAT",
+    "MADAT",
     "dat_loss",
     "ifrnet_loss",
+    "m2m_loss",
+    "gmtrans_loss",
+    "rstt_loss",
+    "dcntrans_loss",
+    "dcndat_loss",
+    "madat_loss",
     "create_model",
     "MODEL_REGISTRY",
     "base",

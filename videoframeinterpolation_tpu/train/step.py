@@ -16,6 +16,12 @@ import jax.numpy as jnp
 from ..config import Config
 from ..models.dat import DATwConstantnC, dat_loss
 from ..models.ifrnet import IFRNet, ifrnet_loss
+from ..models.m2m import GMM2M, IFRM2M, m2m_loss
+from ..models.gmtrans import GMTrans, gmtrans_loss
+from ..models.rstt import RSTT, rstt_loss
+from ..models.dcntrans import DCNTrans, dcntrans_loss
+from ..models.dcndat import DCNDAT, dcndat_loss
+from ..models.madat import MADAT, madat_loss
 from ..parallel import batch_sharding, replicated_sharding
 from .state import TrainState
 
@@ -48,6 +54,69 @@ def make_loss_fn(model, cfg: Config) -> Callable:
                     cfg.distill_lambda if cfg.distill_lambda is not None else 0.0
                 ),
             )
+
+        return loss_fn
+
+    if isinstance(model, (IFRM2M, GMM2M)):
+        align_corners = isinstance(model, GMM2M)
+
+        def loss_fn(params, batch):
+            pred, inter = model.apply(
+                params, batch["x0"], batch["x1"], batch["t"], train=True
+            )
+            return m2m_loss(pred, inter, batch, align_corners=align_corners)
+
+        return loss_fn
+
+    if isinstance(model, GMTrans):
+
+        def loss_fn(params, batch):
+            pred, inter = model.apply(
+                params, batch["x0"], batch["x1"], batch["t"], train=True
+            )
+            return gmtrans_loss(pred, inter, batch)
+
+        return loss_fn
+
+    if isinstance(model, RSTT):
+
+        def loss_fn(params, batch):
+            pred, inter = model.apply(
+                params, batch["x0"], batch["x1"], batch["t"], train=True
+            )
+            return rstt_loss(model, params, pred, inter, batch)
+
+        return loss_fn
+
+    if isinstance(model, DCNTrans):
+
+        def loss_fn(params, batch):
+            pred, inter = model.apply(
+                params, batch["x0"], batch["x1"], batch["t"], train=True
+            )
+            return dcntrans_loss(model, params, pred, inter, batch)
+
+        return loss_fn
+
+    if isinstance(model, DCNDAT):
+
+        def loss_fn(params, batch):
+            pred, inter = model.apply(
+                params, batch["x0"], batch["x1"], batch["t"], train=True
+            )
+            return dcndat_loss(model, params, pred, inter, batch,
+                               geo_lambda=cfg.geo_lambda,
+                               distill_lambda=cfg.distill_lambda)
+
+        return loss_fn
+
+    if isinstance(model, MADAT):
+
+        def loss_fn(params, batch):
+            pred, inter = model.apply(
+                params, batch["x0"], batch["x1"], batch["t"], train=True
+            )
+            return madat_loss(pred, inter, batch)
 
         return loss_fn
 
