@@ -21,6 +21,7 @@ from .rstt import RSTT, rstt_loss
 from .dcntrans import DCNTrans, dcntrans_loss
 from .dcndat import DCNDAT, dcndat_loss
 from .madat import MADAT, madat_loss
+from .gmbase import FFCRAFT, GMVFIFormer, LAMAResidual, gmbase_loss
 from . import base
 
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": None}
@@ -55,6 +56,9 @@ MODEL_REGISTRY: dict[str, Any] = {
     "MADAT": lambda c: MADAT(channels=tuple(c.channels),
                              depths=tuple(c.depths),
                              mlp_ratio=c.mlp_ratio, dtype=_dt(c)),
+    "LAMAResidual": lambda c: LAMAResidual(dtype=_dt(c)),
+    "FFCRAFT": lambda c: FFCRAFT(dtype=_dt(c)),
+    "GMVFIFormer": lambda c: GMVFIFormer(dtype=_dt(c)),
 }
 
 # Reference model_name aliases (configs/*.yaml values).
@@ -68,6 +72,8 @@ _ALIASES = {
     "DCNTransv2": "DCNTransFwarp",
     "DCNDATv1": "DCNDAT",
     "MADATv1": "MADAT",
+    "GMVFIFormerV1": "GMVFIFormer",
+    "RAFTRefine": "LAMAResidual",  # occlusion-aware GM refinement analog
 }
 for alias, target in _ALIASES.items():
     MODEL_REGISTRY[alias] = MODEL_REGISTRY[target]
@@ -93,6 +99,9 @@ __all__ = [
     "DCNTrans",
     "DCNDAT",
     "MADAT",
+    "LAMAResidual",
+    "FFCRAFT",
+    "GMVFIFormer",
     "dat_loss",
     "ifrnet_loss",
     "m2m_loss",
@@ -101,6 +110,7 @@ __all__ = [
     "dcntrans_loss",
     "dcndat_loss",
     "madat_loss",
+    "gmbase_loss",
     "create_model",
     "MODEL_REGISTRY",
     "base",
