@@ -82,36 +82,16 @@ def deform_conv2d(
     sx = gx[None, :, :, None, None] + kx[None, None, None, None, :] + off[..., 0]
     sy = gy[None, :, :, None, None] + ky[None, None, None, None, :] + off[..., 1]
 
-    x0f = jnp.floor(sx)
-    y0f = jnp.floor(sy)
-    wx = (sx - x0f).astype(x.dtype)
-    wy = (sy - y0f).astype(x.dtype)
-    x0 = x0f.astype(jnp.int32)
-    y0 = y0f.astype(jnp.int32)
-    x1 = x0 + 1
-    y1 = y0 + 1
+    # One quad-packed row gather per (group, tap) sample — the TPU-native
+    # bilinear path (see ops/interp.py:build_quad_table).
+    from .interp import grid_sample
 
-    # Group-major input for per-group gathers: (B, G, H*W, Cg).
-    xg = x.reshape(B, H * W, G, Cg).transpose(0, 2, 1, 3)
-
-    def tap(xi, yi, w):
-        valid = ((xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)).astype(
-            x.dtype
-        )
-        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-        # (B, H, W, G, KK) -> (B, G, H*W*KK)
-        idx = idx.transpose(0, 3, 1, 2, 4).reshape(B, G, H * W * KK)
-        v = jnp.take_along_axis(xg, idx[..., None], axis=2)
-        return v * (w * valid).transpose(0, 3, 1, 2, 4).reshape(
-            B, G, H * W * KK, 1
-        )
-
-    samples = (
-        tap(x0, y0, (1.0 - wx) * (1.0 - wy))
-        + tap(x1, y0, wx * (1.0 - wy))
-        + tap(x0, y1, (1.0 - wx) * wy)
-        + tap(x1, y1, wx * wy)
-    )  # (B, G, H*W*KK, Cg)
+    xg = x.reshape(B, H * W, G, Cg).transpose(0, 2, 1, 3).reshape(
+        B * G, H, W, Cg
+    )
+    coords = jnp.stack([sx, sy], axis=-1)  # (B, H, W, G, KK, 2)
+    coords = coords.transpose(0, 3, 1, 2, 4, 5).reshape(B * G, H * W * KK, 2)
+    samples = grid_sample(xg, coords, padding_mode="zeros")
     samples = samples.reshape(B, G, H * W, KK, Cg)
     samples = samples * mask.transpose(0, 3, 1, 2, 4).reshape(
         B, G, H * W, KK, 1
