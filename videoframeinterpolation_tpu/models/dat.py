@@ -97,8 +97,12 @@ class DATwConstantnC(nn.Module):
             x0n = x0n.astype(self.dtype)
             x1n = x1n.astype(self.dtype)
 
-        f0_1, f0_2, f0_3, f0_4 = self.feature_encoder(x0n)
-        f1_1, f1_2, f1_3, f1_4 = self.feature_encoder(x1n)
+        # Shared-weight encoder on both frames batched together (2B).
+        feats = self.feature_encoder(jnp.concatenate([x0n, x1n], axis=0))
+        B = x0.shape[0]
+        (f0_1, f1_1), (f0_2, f1_2), (f0_3, f1_3), (f0_4, f1_4) = (
+            (f[:B], f[B:]) for f in feats
+        )
 
         feat_t_4, ft0_4, ft1_4 = self.coarse_query_builder(f0_4, f1_4, t)
 
