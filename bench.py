@@ -38,9 +38,9 @@ def time_loop(forward, args, n_lo: int = 1, n_hi: int = 17, reps: int = 3):
 
     def make(n):
         @jax.jit
-        def f(x0, *rest):
+        def f(params, x0, *rest):
             def body(i, c):
-                out = forward(c, *rest)
+                out = forward(params, c, *rest)
                 return c + 1e-12 * out
             return jnp.sum(jax.lax.fori_loop(0, n, body, x0))
 
@@ -74,10 +74,10 @@ def main() -> None:
 
     params = model.init(jax.random.key(0), x0[:, :32, :32], x1[:, :32, :32], t)
 
-    def forward(x0, x1, t):
+    def forward(params, x0, x1, t):
         return model.apply(params, x0, x1, t)
 
-    sec = time_loop(forward, (x0, x1, t))
+    sec = time_loop(forward, (params, x0, x1, t))
     ms = float(sec * 1e3)
     print(json.dumps({
         "metric": "dat_inference_448x256_ms_per_frame",
