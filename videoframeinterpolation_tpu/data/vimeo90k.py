@@ -18,7 +18,8 @@ from pathlib import Path
 
 import numpy as np
 
-from .augment import random_augment
+from .augment import random_augment, resize2x
+from .native import augment_triplet_native, available as native_available
 from .readers import read, read_image
 
 
@@ -111,6 +112,7 @@ class Vimeo90KwFlow(Vimeo90K):
         self.flow_dir = flow_dir
         self.distill_bwd = distill_bwd
         self.flow_in_pixels = flow_in_pixels
+        self.use_native = native_available()
 
     def _flow_paths(self, idx: int, swapped: bool) -> tuple[str, str]:
         d = Path(self.root) / self.flow_dir / self.sequences[idx]
@@ -135,15 +137,44 @@ class Vimeo90KwFlow(Vimeo90K):
         xt = read_image(str(d / "im2.png"))
         f0x = read(fa)
         f1x = read(fb)
-        frames = np.concatenate(
-            [x0.astype(np.float32), x1.astype(np.float32),
-             xt.astype(np.float32), f0x, f1x], axis=2
-        )
-        frames = random_augment(self._rng, frames, self.crop_hw, with_flow=True)
-        if self.flow_in_pixels:
-            frames[:, :, :9] = frames[:, :, :9] / 255.0
+        flow_scale = 1.0 if self.flow_in_pixels else 1.0 / 255.0
+
+        if self.use_native and x0.dtype == np.uint8:
+            rng = self._rng
+            if rng.uniform() < 0.1:
+                stack = resize2x(
+                    np.concatenate(
+                        [x0.astype(np.float32), x1.astype(np.float32),
+                         xt.astype(np.float32), f0x, f1x], axis=2),
+                    with_flow=True)
+                x0 = stack[:, :, 0:3].astype(np.uint8)
+                x1 = stack[:, :, 3:6].astype(np.uint8)
+                xt = stack[:, :, 6:9].astype(np.uint8)
+                f0x, f1x = stack[:, :, 9:11], stack[:, :, 11:13]
+            h, w, _ = x0.shape
+            ch, cw = self.crop_hw
+            frames = augment_triplet_native(
+                np.ascontiguousarray(x0), np.ascontiguousarray(x1),
+                np.ascontiguousarray(xt), f0x, f1x,
+                crop_hw=self.crop_hw,
+                h_off=int(rng.integers(0, h - ch + 1)),
+                w_off=int(rng.integers(0, w - cw + 1)),
+                chan_reverse=rng.uniform() < 0.5,
+                vflip=rng.uniform() < 0.5,
+                hflip=rng.uniform() < 0.5,
+                rot=int(rng.integers(0, 4)),
+                img_scale=1.0 / 255.0,
+                flow_scale=flow_scale,
+            )
         else:
-            frames = frames / 255.0  # reference quirk: flows also /255
+            frames = np.concatenate(
+                [x0.astype(np.float32), x1.astype(np.float32),
+                 xt.astype(np.float32), f0x, f1x], axis=2
+            )
+            frames = random_augment(self._rng, frames, self.crop_hw,
+                                    with_flow=True)
+            frames[:, :, :9] = frames[:, :, :9] / 255.0
+            frames[:, :, 9:] = frames[:, :, 9:] * flow_scale
         return {
             "x0": frames[:, :, 0:3],
             "x1": frames[:, :, 3:6],
