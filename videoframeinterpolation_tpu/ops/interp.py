@@ -144,20 +144,29 @@ def grid_sample(
         quad = build_quad_table(img, padding_mode)
     qflat = quad.reshape(B, (H + 1) * (W + 1), 4 * C)
     idx = yq * (W + 1) + xq
-    # Chunked gather: large single gathers run at ~13 ns/row on v5e while
-    # ~32K-row chunks run at ~8 ns/row (operand stays cache-resident), a
-    # measured 1.67x win at the flagship's finest level.
+    # Chunked gather: monolithic multi-M-row gathers run at ~13 ns/row on
+    # v5e while calls bounded in rows AND operand bytes run at ~8 ns/row
+    # (operand stays cache-resident). Split both the batch axis (operand
+    # slices <= ~16 MB) and the row axis (<= ~256K rows/call).
     N = idx.shape[1]
-    CHUNK = 32768
-    if N > CHUNK:
-        n_chunks = -(-N // CHUNK)
-        pieces = [
-            _gather_hw(qflat, idx[:, i * CHUNK:(i + 1) * CHUNK])
-            for i in range(n_chunks)
-        ]
-        rows = jnp.concatenate(pieces, axis=1)
+    table_bytes = qflat.shape[1] * qflat.shape[2] * qflat.dtype.itemsize
+    B_CHUNK = max(1, (16 << 20) // max(table_bytes, 1))
+    CHUNK = max(8192, 262144 // min(B, B_CHUNK))
+
+    def gather_all(qf, ix):
+        n = ix.shape[1]
+        if n <= CHUNK:
+            return _gather_hw(qf, ix)
+        return jnp.concatenate(
+            [_gather_hw(qf, ix[:, i * CHUNK:(i + 1) * CHUNK])
+             for i in range(-(-n // CHUNK))], axis=1)
+
+    if B > B_CHUNK:
+        rows = jnp.concatenate(
+            [gather_all(qflat[i:i + B_CHUNK], idx[i:i + B_CHUNK])
+             for i in range(0, B, B_CHUNK)], axis=0)
     else:
-        rows = _gather_hw(qflat, idx)  # (B, N, 4C)
+        rows = gather_all(qflat, idx)  # (B, N, 4C)
     v00 = rows[..., 0 * C:1 * C]
     v01 = rows[..., 1 * C:2 * C]
     v10 = rows[..., 2 * C:3 * C]
