@@ -16,6 +16,11 @@ from videoframeinterpolation_tpu.models.rstt import RSTT, rstt_loss
 from videoframeinterpolation_tpu.models.dcntrans import DCNTrans, dcntrans_loss
 from videoframeinterpolation_tpu.models.dcndat import DCNDAT, dcndat_loss
 from videoframeinterpolation_tpu.models.madat import MADAT, madat_loss
+from videoframeinterpolation_tpu.models.gmbase import (
+    FFCRAFT,
+    GMVFIFormer,
+    LAMAResidual,
+)
 from videoframeinterpolation_tpu.train import make_loss_fn
 
 
@@ -45,6 +50,10 @@ TINY = {
                               use_fwarp=True),
     "DCNDAT": DCNDAT(nf=16, enc_res_blocks=1, dec_res_blocks=1),
     "MADAT": MADAT(channels=(16, 16, 16), depths=(1, 1, 1), motion_dim=16),
+    "LAMAResidual": LAMAResidual(nf=32, num_transformer_layers=1, ngf=8,
+                                 n_blocks=1),
+    "FFCRAFT": FFCRAFT(nf=32, num_transformer_layers=1, refine_iters=1),
+    "GMVFIFormer": GMVFIFormer(nf=32, num_transformer_layers=1),
 }
 
 

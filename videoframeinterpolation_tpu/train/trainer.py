@@ -98,7 +98,14 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
-    def train(self) -> None:
+    def train(self, profile_steps: tuple[int, int] | None = None) -> None:
+        """Run the training loop.
+
+        Args:
+          profile_steps: optional ``(start, stop)`` step interval captured
+            with ``jax.profiler`` into ``<log_dir>/profile`` (the reference
+            has no profiler integration at all, SURVEY.md section 5.1).
+        """
         cfg = self.cfg
         Path(cfg.log_dir).mkdir(parents=True, exist_ok=True)
         cfg.save_yaml(Path(cfg.log_dir) / "config.yaml")
@@ -122,9 +129,13 @@ class Trainer:
                 data_time = time.time() - t_data
                 t_train = time.time()
 
+                if profile_steps is not None and step == profile_steps[0]:
+                    jax.profiler.start_trace(str(Path(cfg.log_dir) / "profile"))
                 sharded = shard_batch(batch, self.mesh)
                 self.state, log = self.train_step(self.state, sharded)
                 step += 1
+                if profile_steps is not None and step == profile_steps[1]:
+                    jax.profiler.stop_trace()
 
                 metrics = {k: float(v) for k, v in log.items()}
                 metrics.update({
