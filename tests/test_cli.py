@@ -1,0 +1,94 @@
+"""End-to-end CLI smoke tests: train -> evaluate -> interpolate on a
+synthetic dataset, exercised exactly as a user would via subprocess."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from videoframeinterpolation_tpu.data.readers import write_flo
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _make_vimeo_tree(root: Path, n_seq=2, hw=(48, 48)):
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(0)
+    seqs = [f"{i:05d}/0001" for i in range(n_seq)]
+    for s in seqs:
+        d = root / "sequences" / s
+        d.mkdir(parents=True)
+        for name in ("im1.png", "im2.png", "im3.png"):
+            imageio.imwrite(d / name,
+                            rng.integers(0, 255, (*hw, 3), dtype=np.uint8))
+        fd = root / "flow" / s
+        fd.mkdir(parents=True)
+        for name in ("flow_t0.flo", "flow_t1.flo"):
+            write_flo(str(fd / name),
+                      rng.standard_normal((*hw, 2)).astype(np.float32))
+    (root / "tri_trainlist.txt").write_text("\n".join(seqs) + "\n")
+    (root / "tri_testlist.txt").write_text("\n".join(seqs) + "\n")
+
+
+def _run(args, cwd, env):
+    return subprocess.run(
+        [sys.executable] + args, cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=1200,
+    )
+
+
+@pytest.mark.slow
+def test_cli_train_eval_interpolate(tmp_path):
+    root = tmp_path / "vimeo"
+    _make_vimeo_tree(root)
+
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(f"""
+model_name: DATwConstantnCv1
+nf: 16
+enc_res_blocks: 1
+dec_res_blocks: 1
+compute_dtype: float32
+data_name: Vimeo90KwFlow
+root: {root}
+flow_dir: flow
+crop_h: 32
+crop_w: 32
+num_epochs: 1
+batch_size: 2
+num_workers: 1
+valid_freq_epoch: 1
+val_datasets: [vimeo90k]
+save_latest_freq: 1
+save_every_freq_epoch: 1
+log_dir: {tmp_path}/exp
+""")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+
+    r = _run(["train.py", "--exp_name", "cli", "--config", str(cfg)],
+             REPO, env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "exp" / "checkpoints").exists()
+
+    r = _run(["evaluate.py", "--config", str(cfg), "--ckpt", "latest"],
+             REPO, env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Validation Vimeo90K PSNR" in r.stdout
+
+    out = tmp_path / "mid.png"
+    r = _run([
+        "interpolate.py", "--config", str(cfg), "--ckpt", "latest",
+        "--frame0", str(root / "sequences/00000/0001/im1.png"),
+        "--frame1", str(root / "sequences/00000/0001/im3.png"),
+        "--out", str(out), "--t", "0.5",
+    ], REPO, env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
