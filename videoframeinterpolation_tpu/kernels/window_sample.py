@@ -21,6 +21,18 @@ call; window extents must keep lane indices < 128 (WIN <= 64).
 
 Forward-only (inference path): the training path keeps the plain XLA
 sampler, whose autodiff VJP is exact.
+
+STATUS — measured negative result (kept as a documented experiment, NOT
+wired into the models): at the flagship's finest level this kernel runs
+~3.3 s vs the XLA quad-gather sampler's ~0.12 s on v5e. The in-kernel
+relayouts required to make the window's dx axis gatherable (static lane
+slices + stack into an 18-lane-minor buffer) waste 110/128 lanes of every
+vector op, and the Mosaic lane gather requires a further pad to 128 lanes;
+the resulting per-tile cost is ~90x the lane-dense ideal. Closing that gap
+needs a hardware gather across more than one vreg, which this Mosaic stack
+does not expose (tools/perf/README.md). The XLA row-gather formulation
+(ops/interp.py) remains the production path; this file preserves the
+window decomposition and its exact-parity tests for future toolchains.
 """
 
 from __future__ import annotations
@@ -80,9 +92,13 @@ def _make_kernel(win: int, G: int, S: int, C: int, TQ: int):
 
     def kernel(wt_ref, lx0_ref, ly0_ref, wx_ref, wy_ref,
                mx0_ref, mx1_ref, my0_ref, my1_ref, out_ref):
-        # wt: (TQ, win, C, win) bf16 — (dy, c, dx)
-        # compact per-sample planes: (TQ, G, S)
-        x = wt_ref[:].astype(jnp.float32)
+        # wt: (TQ, win, win*C) bf16 — (dy, dx*C + c), the gather's natural
+        # layout (a dx-minor layout would lane-pad win->128 in HBM, 7x).
+        # Build the dx-minor view in VMEM via static lane slices.
+        w = wt_ref[:].astype(jnp.float32)
+        x = jnp.stack(
+            [w[:, :, dx * C:(dx + 1) * C] for dx in range(win)], axis=-1
+        )  # (TQ, win, C, win)
         x = x.reshape(TQ * win * C, win)
         x = jnp.pad(x, ((0, 0), (0, LANES - win)))
 
@@ -177,8 +193,9 @@ def windowed_deformable_sample(
 
     N = H * W
     windows = _fetch_windows(feat, sy.reshape(B2, N), sx.reshape(B2, N), win)
-    # (B2, N, win, win*C) -> (B2*N, win, C, win): dx into lanes.
-    wt = windows.reshape(B2 * N, win, win, C).transpose(0, 1, 3, 2)
+    # (B2, N, win, win*C) -> (B2*N, win, win*C): leading-dim split only, no
+    # relayout; the kernel builds the dx-minor view in VMEM.
+    wt = windows.reshape(B2 * N, win, win * C)
 
     # Absolute tap positions and window-local fractional coords.
     res = residual.astype(jnp.float32)
@@ -221,7 +238,7 @@ def windowed_deformable_sample(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((TQ, win, C, win), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((TQ, win, win * C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [specs_compact] * 8,
         out_specs=pl.BlockSpec((TQ, C, S), lambda i: (i, 0, 0),
