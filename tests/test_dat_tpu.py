@@ -1,0 +1,55 @@
+"""TPU-native flagship variant: shapes, grads, window extraction."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from videoframeinterpolation_tpu.nn.local_attn import extract_local_windows
+from videoframeinterpolation_tpu.models.dat_tpu import (
+    DATwConstantnCTPU,
+    dat_tpu_loss,
+)
+
+
+def test_extract_local_windows_semantics():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 5, 6, 3)).astype(np.float32))
+    win = extract_local_windows(x, 1)
+    assert win.shape == (1, 9, 30, 3)
+    w = np.asarray(win).reshape(1, 9, 5, 6, 3)
+    # center view (dy=1, dx=1 -> index 4) is the identity
+    np.testing.assert_array_equal(w[0, 4], np.asarray(x)[0])
+    # top-left view at interior pixel (2,2) is x[1,1]
+    np.testing.assert_array_equal(w[0, 0, 2, 2], np.asarray(x)[0, 1, 1])
+    # zero padding at the border of the shifted view
+    np.testing.assert_array_equal(w[0, 0, 0, 0], 0.0)
+
+
+def test_dat_tpu_forward_and_grads():
+    model = DATwConstantnCTPU(nf=16, enc_res_blocks=1, dec_res_blocks=1,
+                              radii=(1, 1, 2))
+    rng = np.random.default_rng(1)
+    b = {
+        "x0": jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)),
+        "x1": jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)),
+        "xt": jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)),
+        "t": jnp.full((1, 1, 1, 1), 0.5, jnp.float32),
+        "f0x": jnp.zeros((1, 32, 32, 2)),
+        "f1x": jnp.zeros((1, 32, 32, 2)),
+    }
+    params = model.init(jax.random.key(0), b["x0"], b["x1"], b["t"],
+                        train=True)
+
+    pred = model.apply(params, b["x0"], b["x1"], b["t"])
+    assert pred.shape == (1, 32, 32, 3)
+    assert 0.0 <= float(pred.min()) and float(pred.max()) <= 1.0
+
+    def loss_fn(p):
+        pred, inter = model.apply(p, b["x0"], b["x1"], b["t"], train=True)
+        total, _ = dat_tpu_loss(pred, inter, b)
+        return total
+
+    total, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(total))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert leaves and all(np.all(np.isfinite(np.asarray(g))) for g in leaves)

@@ -22,6 +22,7 @@ from .dcntrans import DCNTrans, dcntrans_loss
 from .dcndat import DCNDAT, dcndat_loss
 from .madat import MADAT, madat_loss
 from .gmbase import FFCRAFT, GMVFIFormer, LAMAResidual, gmbase_loss
+from .dat_tpu import DATwConstantnCTPU
 from . import base
 
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": None}
@@ -59,6 +60,11 @@ MODEL_REGISTRY: dict[str, Any] = {
     "LAMAResidual": lambda c: LAMAResidual(dtype=_dt(c)),
     "FFCRAFT": lambda c: FFCRAFT(dtype=_dt(c)),
     "GMVFIFormer": lambda c: GMVFIFormer(dtype=_dt(c)),
+    # TPU-native flagship candidate (gather-free local-window attention).
+    "DATwConstantnCTPU": lambda c: DATwConstantnCTPU(
+        nf=c.nf, enc_res_blocks=c.enc_res_blocks,
+        dec_res_blocks=c.dec_res_blocks, mlp_ratio=c.mlp_ratio,
+        dtype=_dt(c)),
 }
 
 # Reference model_name aliases (configs/*.yaml values).
@@ -102,6 +108,7 @@ __all__ = [
     "LAMAResidual",
     "FFCRAFT",
     "GMVFIFormer",
+    "DATwConstantnCTPU",
     "dat_loss",
     "ifrnet_loss",
     "m2m_loss",

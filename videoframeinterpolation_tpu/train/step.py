@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..models.dat import DATwConstantnC, dat_loss
+from ..models.dat_tpu import DATwConstantnCTPU
 from ..models.ifrnet import IFRNet, ifrnet_loss
 from ..models.m2m import GMM2M, IFRM2M, m2m_loss
 from ..models.gmtrans import GMTrans, gmtrans_loss
@@ -29,7 +30,7 @@ from .state import TrainState
 
 def make_loss_fn(model, cfg: Config) -> Callable:
     """Model-specific ``loss_fn(params, batch) -> (loss, log_dict)``."""
-    if isinstance(model, DATwConstantnC):
+    if isinstance(model, (DATwConstantnC, DATwConstantnCTPU)):
 
         def loss_fn(params, batch):
             pred, inter = model.apply(
