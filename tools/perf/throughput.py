@@ -39,4 +39,4 @@ if __name__ == "__main__":
     # 720p single pair (1280x720 -> padded to 1280x720 already /16-divisible
     # in W; H 720 = 45*16 ok).
     measure("IFRNet", 1, 720, 1280, n_hi=5)
-    measure("DATwConstantnCv1", 1, 720, 1280, n_hi=5)
+    measure("DATwConstantnCTPU", 1, 720, 1280, n_hi=5)
