@@ -83,6 +83,15 @@ def validate_ucf101(
     return results
 
 
+def _fix_snu_prefix(p: str) -> str:
+    """SNU-FILM list files name frames under ``data/SNU-FILM/...``; this
+    repo keeps them under ``datasets/``. Remap only the leading path
+    component (the reference's blanket ``p.replace("data", "datasets")``,
+    ``evaluate.py:177``, would corrupt any path whose sequence name
+    contains the substring "data")."""
+    return "datasets/" + p[len("data/"):] if p.startswith("data/") else p
+
+
 def validate_snu(
     infer: Callable,
     root: str = "datasets/SNU-FILM",
@@ -100,7 +109,7 @@ def validate_snu(
             file_list = [line.strip().split(" ") for line in f if line.strip()]
         for paths in file_list:
             i0_path, gt_path, i1_path = (
-                p.replace("data", "datasets") for p in paths[:3]
+                _fix_snu_prefix(p) for p in paths[:3]
             )
             i0 = read_image(i0_path).astype(np.float32)[None] / 255.0
             gt = read_image(gt_path).astype(np.float32)[None] / 255.0
