@@ -83,6 +83,43 @@ def validate_ucf101(
     return results
 
 
+def validate_synthetic(
+    infer: Callable,
+    seed: int = 42,
+    num_items: int = 64,
+    hw: tuple[int, int] = (256, 448),
+    batch_size: int = 4,
+    report_ssim: bool = False,
+) -> dict:
+    """Held-out PSNR on the procedural-motion generator (no reference
+    counterpart; used for architecture-level quality studies when no
+    Vimeo90K copy is available on the host)."""
+    from ..data.synthetic import SyntheticMotion
+
+    ds = SyntheticMotion(crop_hw=hw, is_train=False, seed=seed,
+                         num_items=num_items)
+    psnrs, ssims = [], []
+    for start in range(0, num_items, batch_size):
+        items = [ds[i] for i in range(start, min(start + batch_size,
+                                                 num_items))]
+        x0 = jnp.asarray(np.stack([it["x0"] for it in items]))
+        x1 = jnp.asarray(np.stack([it["x1"] for it in items]))
+        t = jnp.asarray(np.stack([it["t"] for it in items]))
+        gt = np.stack([it["xt"] for it in items])
+        pred = np.asarray(infer(x0, x1, t))
+        for i in range(pred.shape[0]):
+            psnrs.append(float(psnr(pred[i], gt[i])))
+            if report_ssim:
+                ssims.append(float(ssim_3d(pred[i:i + 1], gt[i:i + 1])))
+    results = {"val/synthetic_psnr": float(np.mean(psnrs))}
+    log = f"Validation Synthetic PSNR: {results['val/synthetic_psnr']:.4f}"
+    if report_ssim:
+        results["val/synthetic_ssim"] = float(np.mean(ssims))
+        log += f", SSIM: {results['val/synthetic_ssim']:.4f}"
+    print(log)
+    return results
+
+
 def _fix_snu_prefix(p: str) -> str:
     """SNU-FILM list files name frames under ``data/SNU-FILM/...``; this
     repo keeps them under ``datasets/``. Remap only the leading path

@@ -20,7 +20,9 @@ import numpy as np
 
 from ..config import Config
 from ..data import DATASET_REGISTRY, DataLoader
-from ..eval.benchmarks import validate_ucf101, validate_vimeo90k
+from ..eval.benchmarks import (
+    validate_synthetic, validate_ucf101, validate_vimeo90k,
+)
 from ..models import create_model
 from ..parallel import create_mesh, shard_batch
 from ..utils.logger import Logger
@@ -94,6 +96,11 @@ class Trainer:
             results.update(validate_vimeo90k(infer, self.cfg.root))
         if "ucf101" in self.cfg.val_datasets:
             results.update(validate_ucf101(infer))
+        if "synthetic" in self.cfg.val_datasets:
+            results.update(validate_synthetic(
+                infer, seed=self.cfg.seed,
+                hw=(self.cfg.crop_h, self.cfg.crop_w),
+            ))
         return results
 
     # ------------------------------------------------------------------ #
