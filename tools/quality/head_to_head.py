@@ -1,0 +1,156 @@
+"""Head-to-head quality study: parity flagship vs DAT-TPU on procedural data.
+
+No Vimeo90K copy exists on this host, so architecture-level quality is
+measured on the ``SyntheticMotion`` generator (exact GT flows, occlusions):
+train a model from scratch with the flagship recipe and track held-out PSNR.
+Run once per model (the tunneled TPU allows one process at a time):
+
+  python tools/quality/head_to_head.py --model DATwConstantnCv1  --steps 4000
+  python tools/quality/head_to_head.py --model DATwConstantnCTPU --steps 4000
+
+Both invocations see byte-identical training batches (fixed scene pool,
+fixed sampling seed), so the PSNR curves are directly comparable. Results
+append to tools/quality/results/<model>.jsonl.
+
+Reference bar this replaces: validation-as-test on Vimeo90K
+(``/root/reference/train.py:104-130``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+import sys
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def build_pool(n_scenes: int, crop: tuple, seed: int, is_train: bool):
+    """Pre-generate a fixed scene pool (1-core host: generating ~64 ms/item
+    inline would starve the TPU; a pool makes both models' data identical)."""
+    from videoframeinterpolation_tpu.data.synthetic import SyntheticMotion
+
+    ds = SyntheticMotion(crop_hw=crop, is_train=is_train, seed=seed,
+                         num_items=n_scenes)
+    keys = ("x0", "x1", "xt", "t", "f0x", "f1x")
+    items = [ds[i] for i in range(n_scenes)]
+    return {k: np.stack([it[k] for it in items]) for k in keys}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--crop", type=int, default=128)
+    ap.add_argument("--nf", type=int, default=72)
+    ap.add_argument("--pool", type=int, default=768)
+    ap.add_argument("--eval_every", type=int, default=500)
+    ap.add_argument("--eval_items", type=int, default=32)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--warmup", type=int, default=500)
+    ap.add_argument("--out_dir", type=str,
+                    default=str(Path(__file__).parent / "results"))
+    args = ap.parse_args()
+
+    from videoframeinterpolation_tpu.config import Config
+    from videoframeinterpolation_tpu.models import create_model
+    from videoframeinterpolation_tpu.parallel import create_mesh, shard_batch
+    from videoframeinterpolation_tpu.train import (
+        create_train_state, make_train_step,
+    )
+    from videoframeinterpolation_tpu.eval.metrics import psnr
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out_path = out_dir / f"{args.model}.jsonl"
+
+    cfg = Config(
+        model_name=args.model, nf=args.nf,
+        compute_dtype="bfloat16",
+        start_lr=2e-4, end_lr=1e-5,
+        last_lr_decay_iter=args.steps, warmup_steps=args.warmup,
+        seed=args.seed,
+    )
+    model = create_model(cfg)
+    mesh = create_mesh()
+
+    crop = (args.crop, args.crop)
+    print("generating scene pools ...", flush=True)
+    t0 = time.perf_counter()
+    pool = build_pool(args.pool, crop, args.seed, is_train=True)
+    val = build_pool(args.eval_items, crop, args.seed, is_train=False)
+    print(f"pools ready ({time.perf_counter() - t0:.0f}s)", flush=True)
+
+    params = model.init(
+        jax.random.key(cfg.seed),
+        jnp.asarray(pool["x0"][:1]), jnp.asarray(pool["x1"][:1]),
+        jnp.asarray(pool["t"][:1]), train=True,
+    )
+    n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+    state = create_train_state(model, params, cfg)
+    step_fn = make_train_step(model, cfg, mesh)
+
+    # fp32 eval path (framework convention) over the held-out pool.
+    eval_cfg = Config(model_name=args.model, nf=args.nf,
+                      compute_dtype="float32")
+    eval_model = create_model(eval_cfg)
+    infer = jax.jit(lambda p, a, b, t: eval_model.apply(p, a, b, t))
+    vx0, vx1, vt = (jnp.asarray(val[k]) for k in ("x0", "x1", "t"))
+    vxt = val["xt"]
+
+    def held_out_psnr(params) -> float:
+        ps = []
+        eb = 8
+        for i in range(0, vx0.shape[0], eb):
+            pred = np.asarray(
+                infer(params, vx0[i:i + eb], vx1[i:i + eb], vt[i:i + eb]))
+            for j in range(pred.shape[0]):
+                ps.append(float(psnr(pred[j], vxt[i + j])))
+        return float(np.mean(ps))
+
+    log_f = open(out_path, "a")
+
+    def emit(rec):
+        rec["model"] = args.model
+        log_f.write(json.dumps(rec) + "\n")
+        log_f.flush()
+        print(rec, flush=True)
+
+    emit({"event": "start", "n_params": n_params, "steps": args.steps,
+          "batch": args.batch, "crop": args.crop, "pool": args.pool})
+
+    sampler = np.random.Generator(np.random.PCG64(args.seed + 777))
+    t_start = time.perf_counter()
+    loss_acc, n_acc = 0.0, 0
+    for step in range(1, args.steps + 1):
+        idx = sampler.integers(0, args.pool, size=args.batch)
+        batch = {k: v[idx] for k, v in pool.items()}
+        state, log = step_fn(state, shard_batch(batch, mesh))
+        if step == 1:
+            print(f"first step done ({time.perf_counter() - t_start:.0f}s "
+                  f"incl. compile)", flush=True)
+        loss_acc += float(log["total_loss"])
+        n_acc += 1
+        if step % args.eval_every == 0 or step == args.steps:
+            p = held_out_psnr(state.params)
+            emit({"event": "eval", "step": step,
+                  "train_loss": round(loss_acc / n_acc, 5),
+                  "val_psnr": round(p, 4),
+                  "elapsed_s": round(time.perf_counter() - t_start, 1)})
+            loss_acc, n_acc = 0.0, 0
+
+    final = held_out_psnr(state.params)
+    emit({"event": "final", "step": args.steps, "val_psnr": round(final, 4),
+          "elapsed_s": round(time.perf_counter() - t_start, 1)})
+    log_f.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,7 @@ class Config:
     m2m_branch: int = 5                      # M2M flow hypotheses
     channels: Sequence[int] = (16, 32, 64)   # MADAT pyramid
     depths: Sequence[int] = (3, 3, 3)        # MADAT pyramid depths
+    load_gmflow: Optional[str] = None        # GMFlow warm-start ckpt (GMM2M)
 
     # Data
     data_name: str = "Vimeo90KwFlow"
@@ -56,6 +57,15 @@ class Config:
     end_lr: float = 1.0e-5
     weight_decay: float = 1.0e-4
     last_lr_decay_iter: int = 600_000
+    warmup_steps: int = 2000   # reference hardcodes 2000 (utils/scheduler.py)
+    # Keys present in reference archive configs. The reference's DotMap
+    # swallows them without effect (``grad_clip``/``resume_epoch``/
+    # ``last_lr_decay_epoch`` are never read by its Trainer or scheduler);
+    # accepted here so those YAMLs load unchanged — and ``grad_clip``,
+    # plainly intended, is actually honored by the optimizer.
+    grad_clip: Optional[float] = None
+    resume_epoch: int = 0
+    last_lr_decay_epoch: Optional[int] = None
 
     # Validation
     valid_freq_epoch: int = 1
@@ -76,6 +86,10 @@ class Config:
     def __post_init__(self):
         if not self.log_dir:
             self.log_dir = str(Path("exps") / self.exp_name)
+        if isinstance(self.val_datasets, str):
+            # Some reference archive configs use a scalar ("val_datasets:
+            # vimeo90k", configs/archive/DCNDAT.yaml) instead of a list.
+            self.val_datasets = (self.val_datasets,)
         if isinstance(self.val_datasets, list):
             self.val_datasets = tuple(self.val_datasets)
         if isinstance(self.channels, list):

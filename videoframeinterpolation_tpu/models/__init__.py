@@ -71,6 +71,10 @@ MODEL_REGISTRY: dict[str, Any] = {
 _ALIASES = {
     "DATwConstantnCv1": "DATwConstantnC",
     "IFRM2Mv1": "IFRM2M",
+    # v2 is a truncated sketch in the reference (forward ends mid-function,
+    # models/archive/IFRM2M.py:243-256); configs/archive/IFRM2M.yaml names
+    # it, so it resolves to the complete v1 semantics here.
+    "IFRM2Mv2": "IFRM2M",
     "GMM2Mv1": "GMM2M",
     "GMTransv1": "GMTrans",
     "RSTTv1": "RSTT",

@@ -124,12 +124,12 @@ class MADAT(nn.Module):
         self.query_builder2 = conv_transpose_x2(c2, dtype=self.dtype)
         self.decoder2 = DATWithMotionEstimation(
             c2, c2, n_samples=9, n_groups=4, n_heads=4,
-            mlp_ratio=self.mlp_ratio, dtype=self.dtype)
+            mlp_ratio=self.mlp_ratio, motion_dim=md, dtype=self.dtype)
         self.self_attn2 = FlowSelfAttnPropagation(c2, dtype=self.dtype)
         self.query_builder1 = conv_transpose_x2(c1, dtype=self.dtype)
         self.decoder1 = DATWithMotionEstimation(
             c1, c1, n_samples=9, n_groups=8, n_heads=8,
-            mlp_ratio=self.mlp_ratio, dtype=self.dtype)
+            mlp_ratio=self.mlp_ratio, motion_dim=md, dtype=self.dtype)
         self.self_attn1 = FlowSelfAttnPropagation(c1, dtype=self.dtype)
         self.rgb_builder = UNetRGBBuilder(self.channels, dtype=self.dtype)
 

@@ -173,7 +173,16 @@ class SmallResBlock(nn.Module):
 
 class DATWithMotionEstimation(nn.Module):
     """Deformable attention + motion from sample scores
-    (``modules/madat.py:118-206``). Requires n_groups == n_heads."""
+    (``modules/madat.py:118-206``). Requires n_groups == n_heads.
+
+    ``motion_dim`` fixes the motion output width: the reference projects
+    motion to ``out_c`` (``modules/madat.py:132``) yet feeds it into a
+    shared ``motion2flow`` head built for 64 channels
+    (``models/archive/MADAT.py:149-155,199,212``) — a crash with the
+    shipped ``channels: [16, 32, 64]`` config. Reference bug fixed: motion
+    is projected to a constant ``motion_dim`` at every level so one shared
+    head serves the whole pyramid, which is plainly the design intent.
+    """
 
     features: int
     out_features: int
@@ -182,6 +191,7 @@ class DATWithMotionEstimation(nn.Module):
     n_heads: int = 4
     mlp_ratio: float = 2.0
     offset_scale: float = 2.0
+    motion_dim: int = 64
     dtype: Any = None
 
     def setup(self):
@@ -200,7 +210,7 @@ class DATWithMotionEstimation(nn.Module):
         self.k_proj = nn.Dense(self.out_features, dtype=self.dtype)
         self.v_proj = nn.Dense(self.out_features, dtype=self.dtype)
         self.coord_proj = nn.Dense(self.out_features, dtype=self.dtype)
-        self.motion_proj = nn.Dense(self.out_features, dtype=self.dtype)
+        self.motion_proj = nn.Dense(self.motion_dim, dtype=self.dtype)
         self.mlp = DWConvMlp(int(self.out_features * self.mlp_ratio),
                              self.out_features, dtype=self.dtype)
 
@@ -279,7 +289,7 @@ class DATWithMotionEstimation(nn.Module):
                     _normalized_coords(H, W, feat_t.dtype), (B, H * W, 2))
             )
             return self.motion_proj(moved - base_proj).reshape(
-                B, H, W, self.out_features)
+                B, H, W, self.motion_dim)
 
         motion_t0 = motion_from(off0, score0)
         motion_t1 = motion_from(off1, score1)

@@ -10,31 +10,34 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-WARMUP_STEPS = 2000
+WARMUP_STEPS = 2000  # reference default (utils/scheduler.py:10)
 
 
 def warmup_cosine_lr(
-    step, start_lr: float, end_lr: float, last_decay_iter: int
+    step, start_lr: float, end_lr: float, last_decay_iter: int,
+    warmup_steps: int = WARMUP_STEPS,
 ):
     step = jnp.asarray(step, jnp.float32)
-    warm = start_lr * step / float(WARMUP_STEPS)
+    warm = start_lr * step / float(warmup_steps)
     ratio = 0.5 * (
         1.0
         + jnp.cos(
-            (step - WARMUP_STEPS)
-            / float(last_decay_iter - WARMUP_STEPS)
+            (step - warmup_steps)
+            / float(last_decay_iter - warmup_steps)
             * jnp.pi
         )
     )
     cos = (start_lr - end_lr) * ratio + end_lr
     return jnp.where(
-        step < WARMUP_STEPS, warm, jnp.where(step <= last_decay_iter, cos, end_lr)
+        step < warmup_steps, warm, jnp.where(step <= last_decay_iter, cos, end_lr)
     )
 
 
-def make_schedule(start_lr: float, end_lr: float, last_decay_iter: int):
+def make_schedule(start_lr: float, end_lr: float, last_decay_iter: int,
+                  warmup_steps: int = WARMUP_STEPS):
     def schedule(step):
-        return warmup_cosine_lr(step, start_lr, end_lr, last_decay_iter)
+        return warmup_cosine_lr(step, start_lr, end_lr, last_decay_iter,
+                                warmup_steps)
 
     return schedule
 

@@ -30,14 +30,21 @@ def create_optimizer(cfg: Config) -> optax.GradientTransformation:
     to *all* parameters scaled by the live LR — matching
     ``optim.AdamW(model.parameters(), lr=start_lr, weight_decay=wd)``.
     """
-    schedule = make_schedule(cfg.start_lr, cfg.end_lr, cfg.last_lr_decay_iter)
-    return optax.adamw(
+    schedule = make_schedule(cfg.start_lr, cfg.end_lr, cfg.last_lr_decay_iter,
+                             cfg.warmup_steps)
+    tx = optax.adamw(
         learning_rate=schedule,
         b1=0.9,
         b2=0.999,
         eps=1e-8,
         weight_decay=cfg.weight_decay,
     )
+    if cfg.grad_clip is not None:
+        # Honored here even though the reference's Trainer never applies
+        # its configs' grad_clip (dead DotMap key, e.g.
+        # configs/archive/IFRNet.yaml "grad_clip: 1.0").
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
 
 
 def create_train_state(model, params, cfg: Config) -> TrainState:

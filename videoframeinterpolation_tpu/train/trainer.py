@@ -148,7 +148,7 @@ class Trainer:
                 metrics.update({
                     "lr": float(warmup_cosine_lr(
                         step - 1, cfg.start_lr, cfg.end_lr,
-                        cfg.last_lr_decay_iter,
+                        cfg.last_lr_decay_iter, cfg.warmup_steps,
                     )),
                     "data_time": data_time,
                     "train_time": time.time() - t_train,
