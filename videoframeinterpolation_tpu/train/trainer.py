@@ -62,6 +62,7 @@ class Trainer:
 
         self.train_step = make_train_step(self.model, cfg, self.mesh)
         self.infer = None  # built lazily with params bound at call time
+        self._infer_train = None  # train=True forward for image summaries
 
         self.ckpt = CheckpointManager(cfg.log_dir)
         self.logger = Logger(cfg.log_dir, cfg.metric_summary_freq)
@@ -182,26 +183,72 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
+    def _train_outputs_fn(self):
+        """Jitted ``(pred, intermediates)`` forward (train=True) for image
+        summaries; separate from the eval ``infer`` which drops
+        intermediates."""
+        if self._infer_train is None:
+            model = self.model
+            self._infer_train = jax.jit(
+                lambda params, x0, x1, t: model.apply(
+                    params, x0, x1, t, train=True)
+            )
+        return self._infer_train
+
+    @staticmethod
+    def _flow_strip(flows, full_hw: tuple[int, int]) -> np.ndarray:
+        """Render a list of (H', W', 2) flow maps side by side at full
+        resolution (nearest upscale; visualization only)."""
+        H, W = full_hw
+        panels = []
+        for f in flows:
+            img = flow_to_image(np.asarray(f, np.float32))
+            ry, rx = H // img.shape[0], W // img.shape[1]
+            if ry > 1 or rx > 1:
+                img = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)
+            panels.append(img[:H, :W])
+        return np.concatenate(panels, axis=1)
+
     def _log_images(self, batch: dict) -> None:
-        """Prediction strip [avg | pred | gt | err] + flow panels
+        """Prediction strip [avg | pred | gt | err] + the 10-panel flow
+        pyramid [ft0_4..ft0_1 | pseudo-GT ft0, ft1 | ft1_1..ft1_4]
         (reference ``models/DAT.py:40-72``)."""
         try:
-            infer = self._inference_fn()
             x0 = jnp.asarray(batch["x0"][:1])
             x1 = jnp.asarray(batch["x1"][:1])
             t = jnp.asarray(batch["t"][:1])
-            pred = np.asarray(infer(x0, x1, t))[0]
+            H, W = x0.shape[1], x0.shape[2]
+
+            out = self._train_outputs_fn()(self.state.params, x0, x1, t)
+            inter: dict = {}
+            if isinstance(out, tuple):
+                pred, inter = out[0], out[1]
+            else:
+                pred = out
+            pred = np.asarray(pred, np.float32)[0]
+
             x0n, x1n = np.asarray(x0[0]), np.asarray(x1[0])
             xt = batch["xt"][0]
             half = (x0n + x1n) / 2
             err = np.abs(xt - pred)
             strip = np.concatenate([half, pred, xt, err], axis=1)
             panels = {"pred": strip}
-            if "f0x" in batch:
-                panels["flow"] = np.concatenate([
-                    flow_to_image(batch["f0x"][0]),
-                    flow_to_image(batch["f1x"][0]),
-                ], axis=1)
+
+            # Predicted flow pyramids (coarse->fine for t->0, then the
+            # pseudo-GT pair, then fine->coarse for t->1), exactly the
+            # reference's viz_flow layout (models/DAT.py:66-68).
+            p0 = inter.get("pred_ft0", inter.get("ft0"))
+            p1 = inter.get("pred_ft1", inter.get("ft1"))
+            if p0 is not None and "f0x" in batch:
+                flows = (list(reversed(list(p0)))
+                         + [batch["f0x"][0], batch["f1x"][0]]
+                         + list(p1))
+                flows = [f[0] if getattr(f, "ndim", 3) == 4 else f
+                         for f in flows]
+                panels["flow"] = self._flow_strip(flows, (H, W))
+            elif "f0x" in batch:
+                panels["flow"] = self._flow_strip(
+                    [batch["f0x"][0], batch["f1x"][0]], (H, W))
             self.logger.add_image_summary(panels)
         except Exception as e:  # logging must never kill training
             print(f"image summary failed: {e}")
