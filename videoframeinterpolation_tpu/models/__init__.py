@@ -21,7 +21,10 @@ from .rstt import RSTT, rstt_loss
 from .dcntrans import DCNTrans, dcntrans_loss
 from .dcndat import DCNDAT, dcndat_loss
 from .madat import MADAT, madat_loss
-from .gmbase import FFCRAFT, GMVFIFormer, LAMAResidual, gmbase_loss
+from .gmbase import (
+    FFCRAFT, GMVFIFormer, LAMAResidual, RAFTRefine,
+    gmbase_loss, raftrefine_loss,
+)
 from .dat_tpu import DATwConstantnCTPU
 from . import base
 
@@ -60,6 +63,7 @@ MODEL_REGISTRY: dict[str, Any] = {
     "LAMAResidual": lambda c: LAMAResidual(dtype=_dt(c)),
     "FFCRAFT": lambda c: FFCRAFT(dtype=_dt(c)),
     "GMVFIFormer": lambda c: GMVFIFormer(dtype=_dt(c)),
+    "RAFTRefine": lambda c: RAFTRefine(dtype=_dt(c)),
     # TPU-native flagship candidate (gather-free local-window attention).
     "DATwConstantnCTPU": lambda c: DATwConstantnCTPU(
         nf=c.nf, enc_res_blocks=c.enc_res_blocks,
@@ -83,7 +87,6 @@ _ALIASES = {
     "DCNDATv1": "DCNDAT",
     "MADATv1": "MADAT",
     "GMVFIFormerV1": "GMVFIFormer",
-    "RAFTRefine": "LAMAResidual",  # occlusion-aware GM refinement analog
 }
 for alias, target in _ALIASES.items():
     MODEL_REGISTRY[alias] = MODEL_REGISTRY[target]
@@ -112,6 +115,7 @@ __all__ = [
     "LAMAResidual",
     "FFCRAFT",
     "GMVFIFormer",
+    "RAFTRefine",
     "DATwConstantnCTPU",
     "dat_loss",
     "ifrnet_loss",
@@ -122,6 +126,7 @@ __all__ = [
     "dcndat_loss",
     "madat_loss",
     "gmbase_loss",
+    "raftrefine_loss",
     "create_model",
     "MODEL_REGISTRY",
     "base",

@@ -23,7 +23,10 @@ from ..models.rstt import RSTT, rstt_loss
 from ..models.dcntrans import DCNTrans, dcntrans_loss
 from ..models.dcndat import DCNDAT, dcndat_loss
 from ..models.madat import MADAT, madat_loss
-from ..models.gmbase import FFCRAFT, GMVFIFormer, LAMAResidual, gmbase_loss
+from ..models.gmbase import (
+    FFCRAFT, GMVFIFormer, LAMAResidual, RAFTRefine,
+    gmbase_loss, raftrefine_loss,
+)
 from ..parallel import batch_sharding, replicated_sharding
 from .state import TrainState
 
@@ -119,6 +122,22 @@ def make_loss_fn(model, cfg: Config) -> Callable:
                 params, batch["x0"], batch["x1"], batch["t"], train=True
             )
             return madat_loss(pred, inter, batch)
+
+        return loss_fn
+
+    if isinstance(model, RAFTRefine):
+
+        def loss_fn(params, batch):
+            pred, inter = model.apply(
+                params, batch["x0"], batch["x1"], batch["t"], train=True
+            )
+            return raftrefine_loss(
+                pred, inter, batch,
+                distill_lambda=(
+                    cfg.distill_lambda if cfg.distill_lambda is not None
+                    else 0.0
+                ),
+            )
 
         return loss_fn
 
