@@ -38,15 +38,31 @@ def _load_model(args):
         state, _ = CheckpointManager(cfg.log_dir).restore(args.ckpt, state)
         params = state.params
 
-    infer_jit = jax.jit(lambda x0, x1, t: model.apply(params, x0, x1, t))
-    return infer_jit
+    from videoframeinterpolation_tpu.parallel.spatial import make_tiled_infer
+
+    def apply_fn(p, x0, x1, t):
+        return model.apply(p, x0, x1, t)
+
+    # Params stay explicit arguments (closure capture would inline them as
+    # compile-time constants); tiling runs as ONE compiled program.
+    infer_jit = jax.jit(apply_fn)
+    tiled_jit = make_tiled_infer(
+        apply_fn, tile_hw=(args.tile, args.tile), overlap=64,
+    ) if args.tile else None
+
+    def infer(x0, x1, t):
+        return infer_jit(params, x0, x1, t)
+
+    def tiled(x0, x1, t):
+        return tiled_jit(params, x0, x1, t)
+
+    return infer, (tiled if tiled_jit else None)
 
 
-def _interp_pair(infer, img0, img1, t_val, tile):
+def _interp_pair(infer, tiled, img0, img1, t_val, tile):
     import jax.numpy as jnp
 
     from videoframeinterpolation_tpu.data import InputPadder
-    from videoframeinterpolation_tpu.parallel.spatial import tiled_inference
 
     x0 = jnp.asarray(img0.astype(np.float32) / 255.0)[None]
     x1 = jnp.asarray(img1.astype(np.float32) / 255.0)[None]
@@ -54,9 +70,8 @@ def _interp_pair(infer, img0, img1, t_val, tile):
 
     padder = InputPadder(x0.shape, divisor=16)
     x0p, x1p = padder.pad(x0, x1)
-    if tile and max(x0p.shape[1], x0p.shape[2]) > tile:
-        pred = tiled_inference(infer, x0p, x1p, t,
-                               tile_hw=(tile, tile), overlap=64)
+    if tiled is not None and tile and max(x0p.shape[1], x0p.shape[2]) > tile:
+        pred = tiled(x0p, x1p, t)
     else:
         pred = infer(x0p, x1p, t)
     pred = padder.unpad(pred)
@@ -82,7 +97,7 @@ def main() -> None:
 
     import imageio.v2 as imageio
 
-    infer = _load_model(args)
+    infer, tiled = _load_model(args)
 
     if args.in_dir:
         frames = sorted(Path(args.in_dir).iterdir())
@@ -94,7 +109,7 @@ def main() -> None:
             out = []
             for a, b in zip(seq[:-1], seq[1:]):
                 out.append(a)
-                out.append(_interp_pair(infer, a, b, 0.5, args.tile))
+                out.append(_interp_pair(infer, tiled, a, b, 0.5, args.tile))
             out.append(seq[-1])
             seq = out
         for i, fr in enumerate(seq):
@@ -104,7 +119,7 @@ def main() -> None:
         assert args.frame0 and args.frame1 and args.out
         img0 = imageio.imread(args.frame0)
         img1 = imageio.imread(args.frame1)
-        pred = _interp_pair(infer, img0, img1, args.t, args.tile)
+        pred = _interp_pair(infer, tiled, img0, img1, args.t, args.tile)
         imageio.imwrite(args.out, pred)
         print(f"wrote {args.out}")
 

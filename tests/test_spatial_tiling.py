@@ -68,3 +68,73 @@ def test_tile_covers_odd_sizes():
                           tile_hw=(32, 32), overlap=8, tile_batch=3)
     assert out.shape == (1, 70, 90, 3)
     np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)
+
+
+def test_make_tiled_infer_matches_hosted_path():
+    """The single-program sweep (make_tiled_infer) must agree with the
+    host-orchestrated tiled_inference and the full frame."""
+    import flax.linen as nn
+
+    from videoframeinterpolation_tpu.parallel.spatial import make_tiled_infer
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x0, x1, t):
+            h = jnp.concatenate([x0, x1], -1)
+            h = nn.Conv(8, (3, 3), padding="SAME")(h)
+            h = nn.relu(h)
+            return nn.Conv(3, (3, 3), padding="SAME")(h)
+
+    model = Tiny()
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.uniform(0, 1, (1, 64, 96, 3)).astype(np.float32))
+    x1 = jnp.asarray(rng.uniform(0, 1, (1, 64, 96, 3)).astype(np.float32))
+    t = jnp.full((1, 1, 1, 1), 0.5)
+    params = model.init(jax.random.key(0), x0, x1, t)
+
+    apply_fn = lambda p, a, b, tt: model.apply(p, a, b, tt)  # noqa: E731
+    tiled_fn = make_tiled_infer(apply_fn, tile_hw=(32, 32), overlap=16,
+                                tile_batch=4)
+    one_prog = np.asarray(tiled_fn(params, x0, x1, t))
+
+    hosted = np.asarray(tiled_inference(
+        lambda a, b, tt: model.apply(params, a, b, tt), x0, x1, t,
+        tile_hw=(32, 32), overlap=16, tile_batch=4))
+    np.testing.assert_allclose(one_prog, hosted, rtol=1e-5, atol=1e-6)
+
+    full = np.asarray(model.apply(params, x0, x1, t))
+    np.testing.assert_allclose(one_prog, full, rtol=1e-3, atol=2e-3)
+
+
+def test_make_tiled_infer_odd_sizes_and_reuse():
+    from videoframeinterpolation_tpu.parallel.spatial import make_tiled_infer
+
+    apply_fn = lambda p, a, b, tt: a  # noqa: E731
+    tiled_fn = make_tiled_infer(apply_fn, tile_hw=(32, 32), overlap=8,
+                                tile_batch=3)
+    x = jnp.ones((1, 70, 90, 3))
+    out = tiled_fn({}, x, x, jnp.full((1, 1, 1, 1), 0.5))
+    assert out.shape == (1, 70, 90, 3)
+    np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)
+    # Different shape reuses the same callable (retrace, same semantics).
+    y = jnp.ones((1, 40, 40, 3)) * 0.25
+    out2 = tiled_fn({}, y, y, jnp.full((1, 1, 1, 1), 0.5))
+    assert out2.shape == (1, 40, 40, 3)
+    np.testing.assert_allclose(np.asarray(out2), 0.25, rtol=1e-5)
+
+
+def test_pad_wraparound_when_fewer_tiles_than_batch():
+    # n=2 tiles with tile_batch=8 used to index past the tile list.
+    from videoframeinterpolation_tpu.parallel.spatial import make_tiled_infer
+
+    apply_fn = lambda p, a, b, tt: (a + b) / 2  # noqa: E731
+    tiled_fn = make_tiled_infer(apply_fn, tile_hw=(48, 48), overlap=16,
+                                tile_batch=8)
+    x = jnp.full((1, 48, 80, 3), 0.5)
+    out = tiled_fn({}, x, x, jnp.full((1, 1, 1, 1), 0.5))
+    np.testing.assert_allclose(np.asarray(out), 0.5, rtol=1e-6)
+
+    hosted = tiled_inference(lambda a, b, tt: (a + b) / 2, x, x,
+                             jnp.full((1, 1, 1, 1), 0.5),
+                             tile_hw=(48, 48), overlap=16, tile_batch=8)
+    np.testing.assert_allclose(np.asarray(hosted), 0.5, rtol=1e-6)

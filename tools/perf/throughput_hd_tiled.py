@@ -1,8 +1,17 @@
-"""720p flagship inference via the spatially-tiled path (full-frame OOMs:
-the lv1 sampling working set at 720p exceeds HBM; tiling is the designed
-HD path, parallel/spatial.py)."""
-import sys, time
+"""720p throughput on the real TPU (BASELINE.md north-star metric).
+
+  python tools/perf/throughput_hd_tiled.py --model DATwConstantnCv1 \
+      [--mode tiled|full] [--tile 256] [--overlap 64] [--tile_batch 8]
+
+``tiled`` runs the whole sweep as ONE compiled program
+(``parallel/spatial.py:make_tiled_infer``); round 1's host-orchestrated
+loop paid ~25 ms tunnel dispatch per tile chunk.
+"""
+import argparse
+import sys
+import time
 from pathlib import Path
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 import numpy as np
@@ -11,31 +20,48 @@ import jax.numpy as jnp
 
 from videoframeinterpolation_tpu.config import Config
 from videoframeinterpolation_tpu.models import create_model
-from videoframeinterpolation_tpu.parallel.spatial import tiled_inference
+from videoframeinterpolation_tpu.parallel.spatial import make_tiled_infer
 
-cfg = Config(model_name="DATwConstantnCv1", compute_dtype="bfloat16")
+ap = argparse.ArgumentParser()
+ap.add_argument("--model", default="DATwConstantnCv1")
+ap.add_argument("--mode", default="tiled", choices=["tiled", "full"])
+ap.add_argument("--tile", type=int, default=256)
+ap.add_argument("--overlap", type=int, default=64)
+ap.add_argument("--tile_batch", type=int, default=8)
+ap.add_argument("--height", type=int, default=720)
+ap.add_argument("--width", type=int, default=1280)
+ap.add_argument("--reps", type=int, default=3)
+args = ap.parse_args()
+
+cfg = Config(model_name=args.model, compute_dtype="bfloat16")
 model = create_model(cfg)
 rng = np.random.default_rng(0)
-H, W = 720, 1280
+H, W = args.height, args.width
 x0 = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32))
 x1 = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32))
 t = jnp.full((1, 1, 1, 1), 0.5, jnp.float32)
 params = model.init(jax.random.key(0), x0[:, :32, :32], x1[:, :32, :32], t)
 
-infer = jax.jit(lambda p, a, b, tt: model.apply(p, a, b, tt))
-run = lambda: tiled_inference(  # noqa: E731
-    lambda a, b, tt: infer(params, a, b, tt), x0, x1, t,
-    tile_hw=(256, 256), overlap=64, tile_batch=8)
 
-out = run()
+def apply_fn(p, a, b, tt):
+    return model.apply(p, a, b, tt)
+
+
+if args.mode == "tiled":
+    fn = make_tiled_infer(apply_fn, tile_hw=(args.tile, args.tile),
+                          overlap=args.overlap, tile_batch=args.tile_batch)
+else:
+    fn = jax.jit(apply_fn)
+
+out = fn(params, x0, x1, t)
 _ = float(jnp.sum(out))  # compile + force
 times = []
-for _i in range(3):
+for _i in range(args.reps):
     t0 = time.perf_counter()
-    out = run()
+    out = fn(params, x0, x1, t)
     _ = float(jnp.sum(out))
     times.append(time.perf_counter() - t0)
-sec = min(times)
-print(f"DAT 1280x720 tiled(256/64): {sec*1e3:.0f} ms/pair "
-      f"= {1/sec:.2f} frame-pairs/s/chip (incl host tiling + dispatch)",
-      flush=True)
+best = min(times)
+print(f"{args.model} {args.mode} {H}x{W}: {best*1e3:.1f} ms/pair "
+      f"= {1.0/best:.2f} pairs/s/chip (reps: "
+      + ", ".join(f"{x*1e3:.0f}" for x in times) + ")")

@@ -58,6 +58,102 @@ def _feather_1d(
     return w
 
 
+def _grid(H: int, W: int, tile_hw: tuple[int, int], overlap: int):
+    th, tw = tile_hw
+    th, tw = min(th, H), min(tw, W)
+    ys = _tile_starts(H, th, th - overlap)
+    xs = _tile_starts(W, tw, tw - overlap)
+    return th, tw, [(y, x) for y in ys for x in xs]
+
+
+def _blend_weights(coords, th, tw, H, W, overlap):
+    """Static per-tile feather masks (numpy, computed once at trace time)."""
+    ov = min(overlap, th // 2, tw // 2)
+    trim = ov // 4
+    out = []
+    for (y, x) in coords:
+        wy = _feather_1d(th, ov, trim, lo_interior=y > 0,
+                         hi_interior=y + th < H)
+        wx = _feather_1d(tw, ov, trim, lo_interior=x > 0,
+                         hi_interior=x + tw < W)
+        out.append(wy[:, None] * wx[None, :])
+    return np.stack(out)[..., None]  # (n, th, tw, 1)
+
+
+def make_tiled_infer(
+    apply_fn: Callable,
+    *,
+    tile_hw: tuple[int, int] = (256, 256),
+    overlap: int = 64,
+    tile_batch: int = 8,
+) -> Callable:
+    """ONE compiled program for the whole HD tile sweep.
+
+    ``tiled_inference`` dispatches one ``infer`` call per tile chunk from
+    the host — ~25 ms tunnel overhead per dispatch dominated the round-1
+    720p number (BENCH_NOTES round 1: 4.36 s/pair, "incl. host tiling +
+    per-chunk dispatch"). Here tiling, the ``lax.map`` over tile chunks,
+    and the feathered blend are a single XLA program: one dispatch per
+    frame pair, and tile chunks ride the batch axis so a data mesh still
+    shards them.
+
+    Args:
+      apply_fn: ``(params, x0, x1, t) -> pred`` model forward (NOT
+        pre-jitted; params stay an argument so they are not inlined as
+        compile-time constants).
+
+    Returns:
+      jitted ``tiled(params, x0, x1, t) -> (1, H, W, 3)``; recompiles per
+      input shape (static tile grid).
+    """
+
+    @jax.jit
+    def tiled(params, x0: Array, x1: Array, t: Array) -> Array:
+        B, H, W, C = x0.shape
+        assert B == 1, "tile over one frame pair at a time"
+        th, tw, coords = _grid(H, W, tile_hw, overlap)
+        n = len(coords)
+
+        tiles0 = jnp.stack([x0[0, y:y + th, x:x + tw] for (y, x) in coords])
+        tiles1 = jnp.stack([x1[0, y:y + th, x:x + tw] for (y, x) in coords])
+        n_pad = (math.ceil(n / tile_batch) * tile_batch) - n
+        if n_pad:
+            pad_idx = np.arange(n_pad) % n  # wraps when n < n_pad
+            tiles0 = jnp.concatenate([tiles0, tiles0[pad_idx]], axis=0)
+            tiles1 = jnp.concatenate([tiles1, tiles1[pad_idx]], axis=0)
+        nc = (n + n_pad) // tile_batch
+        tiles0 = tiles0.reshape(nc, tile_batch, th, tw, C)
+        tiles1 = tiles1.reshape(nc, tile_batch, th, tw, C)
+        tb = jnp.broadcast_to(t, (tile_batch, 1, 1, 1))
+
+        preds = jax.lax.map(
+            lambda pair: apply_fn(params, pair[0], pair[1], tb),
+            (tiles0, tiles1),
+        )
+        preds = preds.reshape(nc * tile_batch, th, tw, C)[:n]
+
+        weights = jnp.asarray(
+            _blend_weights(coords, th, tw, H, W, overlap), preds.dtype)
+        acc = jnp.zeros((H, W, C), preds.dtype)
+        norm = jnp.zeros((H, W, 1), preds.dtype)
+        for k, (y, x) in enumerate(coords):
+            acc = jax.lax.dynamic_update_slice(
+                acc,
+                jax.lax.dynamic_slice(acc, (y, x, 0), (th, tw, C))
+                + preds[k] * weights[k],
+                (y, x, 0),
+            )
+            norm = jax.lax.dynamic_update_slice(
+                norm,
+                jax.lax.dynamic_slice(norm, (y, x, 0), (th, tw, 1))
+                + weights[k],
+                (y, x, 0),
+            )
+        return (acc / norm)[None]
+
+    return tiled
+
+
 def tiled_inference(
     infer: Callable,
     x0: Array,
@@ -106,8 +202,9 @@ def tiled_inference(
     # Pad the tile batch to a multiple of tile_batch and run in chunks.
     n_pad = (math.ceil(n / tile_batch) * tile_batch) - n
     if n_pad:
-        tiles0 = jnp.concatenate([tiles0, tiles0[:n_pad]], axis=0)
-        tiles1 = jnp.concatenate([tiles1, tiles1[:n_pad]], axis=0)
+        pad_idx = np.arange(n_pad) % n  # wraps when n < n_pad
+        tiles0 = jnp.concatenate([tiles0, tiles0[pad_idx]], axis=0)
+        tiles1 = jnp.concatenate([tiles1, tiles1[pad_idx]], axis=0)
     tb = jnp.broadcast_to(t, (tile_batch, 1, 1, 1))
 
     preds = []
