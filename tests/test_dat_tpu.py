@@ -53,3 +53,39 @@ def test_dat_tpu_forward_and_grads():
     assert np.isfinite(float(total))
     leaves = jax.tree_util.tree_leaves(grads)
     assert leaves and all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+
+
+def test_shift_window_attention_matches_materialized_windows():
+    """ShiftWindowSampleAttention must reproduce SampleAttention over
+    extract_local_windows exactly (same params; projections are pointwise,
+    out-of-window inputs project to the bias)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videoframeinterpolation_tpu.nn.deformable_attn import SampleAttention
+    from videoframeinterpolation_tpu.nn.local_attn import (
+        ShiftWindowSampleAttention,
+        extract_local_windows,
+    )
+
+    B, H, W, C = 2, 12, 10, 16
+    radius, nh = 2, 4
+    K2 = (2 * radius + 1) ** 2
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    w0 = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+
+    new = ShiftWindowSampleAttention(C, radius, nh)
+    params = new.init(jax.random.key(1), q, w0, w1)
+
+    old = SampleAttention(C, 2 * K2, nh)
+    kv = jnp.concatenate([
+        extract_local_windows(w0, radius),
+        extract_local_windows(w1, radius),
+    ], axis=1)
+    ref = old.apply(params, q, kv)
+    got = new.apply(params, q, w0, w1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -56,6 +56,89 @@ def extract_local_windows(x: Array, radius: int) -> Array:
     return jnp.stack(views, axis=1).reshape(B, K * K, H * W, C)
 
 
+def _shift2d(x: Array, dy: int, dx: int, pad_val: Array) -> Array:
+    """Shift a (B, H, W, C) map by (dy, dx) in window coordinates, filling
+    exposed borders with ``pad_val`` (a (C,) vector)."""
+    B, H, W, C = x.shape
+    xs = x - pad_val
+    r_y, r_x = abs(dy), abs(dx)
+    xs = jnp.pad(xs, ((0, 0), (r_y, r_y), (r_x, r_x), (0, 0)))
+    xs = xs[:, r_y + dy:r_y + dy + H, r_x + dx:r_x + dx + W]
+    return xs + pad_val
+
+
+class ShiftWindowSampleAttention(nn.Module):
+    """Math-identical, memory-light form of ``SampleAttention`` over dense
+    K x K windows.
+
+    ``SampleAttention`` materializes the (B, 2K^2, H*W, C) window tensor and
+    projects it (K^2 redundant projection FLOPs, ~0.8 GB of kv traffic at
+    the finest level). Because the projections are pointwise-linear,
+    ``k_proj(window(x)) == window(k_proj(x))`` — so this module projects the
+    dense maps ONCE and slides shifted views instead. Out-of-window
+    positions in the original are zero *inputs*, whose projection is the
+    bias vector — shifted maps are therefore padded with the bias, keeping
+    the math bit-comparable (same softmax over the same scores).
+
+    Parameter tree matches ``SampleAttention`` (q_proj/k_proj/v_proj), so
+    checkpoints transfer either way.
+    """
+
+    out_features: int
+    radius: int
+    n_heads: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, q: Array, warped0: Array, warped1: Array) -> Array:
+        from .blocks import torch_conv_init
+
+        B, H, W, C = q.shape
+        nh = self.n_heads
+        hc = self.out_features // nh
+        scale = hc ** -0.5
+        K = 2 * self.radius + 1
+
+        q_proj = nn.Dense(self.out_features, kernel_init=torch_conv_init,
+                          dtype=self.dtype, name="q_proj")
+        k_proj = nn.Dense(self.out_features, kernel_init=torch_conv_init,
+                          dtype=self.dtype, name="k_proj")
+        v_proj = nn.Dense(self.out_features, kernel_init=torch_conv_init,
+                          dtype=self.dtype, name="v_proj")
+
+        qp = q_proj(q).reshape(B, H, W, nh, hc)
+        both = jnp.concatenate([warped0, warped1], axis=0)
+        kp_b = k_proj(both)
+        vp_b = v_proj(both)
+        k_bias = k_proj.variables["params"]["bias"].astype(kp_b.dtype)
+        v_bias = v_proj.variables["params"]["bias"].astype(vp_b.dtype)
+
+        shifts = [(dy - self.radius, dx - self.radius)
+                  for dy in range(K) for dx in range(K)]
+
+        scores = []
+        v_maps = []
+        for frame in (0, 1):
+            kp = kp_b[frame * B:(frame + 1) * B].reshape(B, H, W, nh, hc)
+            vp = vp_b[frame * B:(frame + 1) * B]
+            for (dy, dx) in shifts:
+                ks = _shift2d(kp.reshape(B, H, W, nh * hc), dy, dx, k_bias
+                              ).reshape(B, H, W, nh, hc)
+                s = jnp.einsum("bhwnc,bhwnc->bhwn", qp, ks,
+                               preferred_element_type=jnp.float32)
+                scores.append(s)
+                v_maps.append((vp, dy, dx))
+        attn = jnp.stack(scores, axis=-1) * scale  # (B, H, W, nh, 2K^2)
+        attn = jax.nn.softmax(attn, axis=-1)
+
+        out = jnp.zeros((B, H, W, nh, hc), jnp.float32)
+        for i, (vp, dy, dx) in enumerate(v_maps):
+            vs = _shift2d(vp, dy, dx, v_bias).reshape(B, H, W, nh, hc)
+            out = out + attn[..., i, None].astype(jnp.float32) * vs.astype(
+                jnp.float32)
+        return out.reshape(B, H, W, self.out_features).astype(q.dtype)
+
+
 class LocalWindowCrossAttentionBlock(nn.Module):
     """Drop-in structural analog of ``CrossDeformableAttentionBlock``:
     same (feat_t, feat0, feat1, ft0, ft1) interface, same flow head."""
@@ -77,8 +160,12 @@ class LocalWindowCrossAttentionBlock(nn.Module):
                                                      dtype=self.dtype)
         if self.pred_res_flow:
             self.conv_res_flow = conv_transpose_x2(2, dtype=self.dtype)
-        self.attn = SampleAttention(self.out_features, 2 * K * K,
-                                    self.n_heads, dtype=self.dtype)
+        # Shifted-map attention: same params and math as SampleAttention
+        # over extract_local_windows, without materializing the
+        # (B, 2K^2, N, C) window tensor (see ShiftWindowSampleAttention).
+        del K
+        self.attn = ShiftWindowSampleAttention(
+            self.out_features, self.radius, self.n_heads, dtype=self.dtype)
         self.mlp = FeedForward(int(self.out_features * self.mlp_ratio),
                                self.out_features, dtype=self.dtype)
 
@@ -94,10 +181,7 @@ class LocalWindowCrossAttentionBlock(nn.Module):
         h = jnp.concatenate([feat_t_b, warped_b, ft_b], axis=-1)
         mv_b = self.movement_res(self.movement_conv2(self.movement_conv1(h)))
 
-        kv_b = extract_local_windows(warped_b, self.radius)  # (2B, K2, N, C)
-        kv = jnp.concatenate([kv_b[:B], kv_b[B:]], axis=1)   # (B, 2K2, N, C)
-
-        attended = self.attn(feat_t, kv)
+        attended = self.attn(feat_t, warped_b[:B], warped_b[B:])
         out = attended + self.mlp(attended)
 
         if not self.pred_res_flow:
