@@ -18,7 +18,7 @@ def main() -> None:
     parser.add_argument("--ckpt", type=str, default=None,
                         help="checkpoint name (default: best_<benchmark>)")
     parser.add_argument("--benchmark", type=str, default="vimeo90k",
-                        choices=["vimeo90k", "ucf101", "snu"])
+                        choices=["vimeo90k", "ucf101", "snu", "synthetic"])
     parser.add_argument("--ssim", action="store_true")
     parser.add_argument("--batch_size", type=int, default=4)
     args = parser.parse_args()
@@ -27,7 +27,7 @@ def main() -> None:
 
     from videoframeinterpolation_tpu.config import Config
     from videoframeinterpolation_tpu.eval import (
-        validate_snu, validate_ucf101, validate_vimeo90k,
+        validate_snu, validate_synthetic, validate_ucf101, validate_vimeo90k,
     )
     from videoframeinterpolation_tpu.models import create_model
     from videoframeinterpolation_tpu.train.checkpoint import CheckpointManager
@@ -67,6 +67,9 @@ def main() -> None:
                           report_ssim=args.ssim)
     elif args.benchmark == "ucf101":
         validate_ucf101(infer, report_ssim=args.ssim)
+    elif args.benchmark == "synthetic":
+        validate_synthetic(infer, seed=cfg.seed, report_ssim=args.ssim,
+                           batch_size=args.batch_size)
     else:
         validate_snu(infer, report_ssim=args.ssim)
 
