@@ -55,6 +55,8 @@ def main():
     ap.add_argument("--eval_items", type=int, default=32)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--warmup", type=int, default=500)
+    ap.add_argument("--dilated", action="store_true",
+                    help="DAT-TPU dilated window taps (wider reach)")
     ap.add_argument("--out_dir", type=str,
                     default=str(Path(__file__).parent / "results"))
     args = ap.parse_args()
@@ -69,14 +71,18 @@ def main():
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    out_path = out_dir / f"{args.model}.jsonl"
+    tag = args.model + ("_dilated" if args.dilated else "")
+    out_path = out_dir / f"{tag}.jsonl"
 
+    OFFSET_SETS = ((-2, -1, 0, 1, 2), (-4, -2, -1, 0, 1, 2, 4),
+                   (-6, -4, -2, -1, 0, 1, 2, 4, 6))
     cfg = Config(
         model_name=args.model, nf=args.nf,
         compute_dtype="bfloat16",
         start_lr=2e-4, end_lr=1e-5,
         last_lr_decay_iter=args.steps, warmup_steps=args.warmup,
         seed=args.seed,
+        offset_sets=OFFSET_SETS if args.dilated else None,
     )
     model = create_model(cfg)
     mesh = create_mesh()
@@ -99,7 +105,8 @@ def main():
 
     # fp32 eval path (framework convention) over the held-out pool.
     eval_cfg = Config(model_name=args.model, nf=args.nf,
-                      compute_dtype="float32")
+                      compute_dtype="float32",
+                      offset_sets=OFFSET_SETS if args.dilated else None)
     eval_model = create_model(eval_cfg)
     infer = jax.jit(lambda p, a, b, t: eval_model.apply(p, a, b, t))
     vx0, vx1, vt = (jnp.asarray(val[k]) for k in ("x0", "x1", "t"))
@@ -118,7 +125,7 @@ def main():
     log_f = open(out_path, "a")
 
     def emit(rec):
-        rec["model"] = args.model
+        rec["model"] = tag
         log_f.write(json.dumps(rec) + "\n")
         log_f.flush()
         print(rec, flush=True)

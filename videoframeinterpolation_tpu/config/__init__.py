@@ -38,6 +38,9 @@ class Config:
     channels: Sequence[int] = (16, 32, 64)   # MADAT pyramid
     depths: Sequence[int] = (3, 3, 3)        # MADAT pyramid depths
     load_gmflow: Optional[str] = None        # GMFlow warm-start ckpt (GMM2M)
+    # DAT-TPU window geometry (no reference equivalent)
+    radii: Sequence[int] = (2, 2, 3)         # per level (lv3, lv2, lv1)
+    offset_sets: Optional[Sequence] = None   # dilated taps per level
 
     # Data
     data_name: str = "Vimeo90KwFlow"

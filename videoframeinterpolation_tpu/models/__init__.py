@@ -68,6 +68,9 @@ MODEL_REGISTRY: dict[str, Any] = {
     "DATwConstantnCTPU": lambda c: DATwConstantnCTPU(
         nf=c.nf, enc_res_blocks=c.enc_res_blocks,
         dec_res_blocks=c.dec_res_blocks, mlp_ratio=c.mlp_ratio,
+        radii=tuple(c.radii),
+        offset_sets=(tuple(tuple(o) for o in c.offset_sets)
+                     if c.offset_sets is not None else None),
         dtype=_dt(c)),
 }
 

@@ -41,11 +41,19 @@ class DATwConstantnCTPU(nn.Module):
     # Window radii per level (lv3, lv2, lv1): dense (2r+1)^2 coverage
     # replacing the reference's nS=8/16/32 sparse samples with bound 2/4/8.
     radii: tuple = (2, 2, 3)
+    # Optional dilated per-axis tap offsets per level (lv3, lv2, lv1),
+    # overriding radii: dense near the flow-aligned center, sparse farther
+    # out — wider reach than contiguous windows at the same (param-free)
+    # cost. The round-2 quality study uses
+    # ((-2,-1,0,1,2), (-4,-2,-1,0,1,2,4), (-6,-4,-2,-1,0,1,2,4,6)).
+    offset_sets: tuple | None = None
     dtype: Any = None
 
     def setup(self):
         nf = self.nf
         r3, r2, r1 = self.radii
+        o3, o2, o1 = (self.offset_sets if self.offset_sets is not None
+                      else (None, None, None))
         self.feature_encoder = SameChannelResEncoder(
             nf, self.enc_res_blocks, dtype=self.dtype)
         self.coarse_query_builder = DCNInterFeatBuilderWithT(nf,
@@ -53,15 +61,15 @@ class DATwConstantnCTPU(nn.Module):
         self.lv4_to_lv3 = conv_transpose_x2(nf + 4, dtype=self.dtype)
         self.dat_lv3 = LocalWindowCrossAttentionBlock(
             nf, nf, radius=r3, n_heads=4, mlp_ratio=self.mlp_ratio,
-            dtype=self.dtype)
+            offsets_1d=o3, dtype=self.dtype)
         self.lv3_to_lv2 = conv_transpose_x2(nf, dtype=self.dtype)
         self.dat_lv2 = LocalWindowCrossAttentionBlock(
             nf, nf, radius=r2, n_heads=8, mlp_ratio=self.mlp_ratio,
-            dtype=self.dtype)
+            offsets_1d=o2, dtype=self.dtype)
         self.lv2_to_lv1 = conv_transpose_x2(nf, dtype=self.dtype)
         self.dat_lv1 = LocalWindowCrossAttentionBlock(
             nf, nf, radius=r1, n_heads=8, mlp_ratio=self.mlp_ratio,
-            pred_res_flow=False, dtype=self.dtype)
+            pred_res_flow=False, offsets_1d=o1, dtype=self.dtype)
         self.pixel_generator = BasicResPixelShuffleGenerator(
             nf, self.dec_res_blocks, dtype=self.dtype)
 

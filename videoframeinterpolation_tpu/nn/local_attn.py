@@ -87,6 +87,11 @@ class ShiftWindowSampleAttention(nn.Module):
     out_features: int
     radius: int
     n_heads: int
+    # Optional explicit per-axis tap offsets (dilated windows): taps are
+    # the cross product offsets_1d x offsets_1d. None = contiguous
+    # [-radius, radius]. Dilated sets widen reach at the same cost — the
+    # shifts stay static slices, and there are no extra parameters.
+    offsets_1d: tuple | None = None
     dtype: Any = None
 
     @nn.compact
@@ -97,7 +102,6 @@ class ShiftWindowSampleAttention(nn.Module):
         nh = self.n_heads
         hc = self.out_features // nh
         scale = hc ** -0.5
-        K = 2 * self.radius + 1
 
         q_proj = nn.Dense(self.out_features, kernel_init=torch_conv_init,
                           dtype=self.dtype, name="q_proj")
@@ -113,8 +117,9 @@ class ShiftWindowSampleAttention(nn.Module):
         k_bias = k_proj.variables["params"]["bias"].astype(kp_b.dtype)
         v_bias = v_proj.variables["params"]["bias"].astype(vp_b.dtype)
 
-        shifts = [(dy - self.radius, dx - self.radius)
-                  for dy in range(K) for dx in range(K)]
+        axis = (tuple(self.offsets_1d) if self.offsets_1d is not None
+                else tuple(range(-self.radius, self.radius + 1)))
+        shifts = [(dy, dx) for dy in axis for dx in axis]
 
         scores = []
         v_maps = []
@@ -149,11 +154,11 @@ class LocalWindowCrossAttentionBlock(nn.Module):
     n_heads: int = 8
     mlp_ratio: float = 2.0
     pred_res_flow: bool = True
+    offsets_1d: tuple | None = None  # dilated taps; None = [-radius, radius]
     dtype: Any = None
 
     def setup(self):
         c = self.features
-        K = 2 * self.radius + 1
         self.movement_conv1 = ConvPReLU(c * 2, dtype=self.dtype)
         self.movement_conv2 = ConvPReLU(c, dtype=self.dtype)
         self.movement_res = HalfChannelConv5ResBlock(c, c // 2,
@@ -163,9 +168,9 @@ class LocalWindowCrossAttentionBlock(nn.Module):
         # Shifted-map attention: same params and math as SampleAttention
         # over extract_local_windows, without materializing the
         # (B, 2K^2, N, C) window tensor (see ShiftWindowSampleAttention).
-        del K
         self.attn = ShiftWindowSampleAttention(
-            self.out_features, self.radius, self.n_heads, dtype=self.dtype)
+            self.out_features, self.radius, self.n_heads,
+            offsets_1d=self.offsets_1d, dtype=self.dtype)
         self.mlp = FeedForward(int(self.out_features * self.mlp_ratio),
                                self.out_features, dtype=self.dtype)
 
