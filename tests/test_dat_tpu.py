@@ -89,3 +89,47 @@ def test_shift_window_attention_matches_materialized_windows():
     got = new.apply(params, q, w0, w1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_group_offsets_zero_init_matches_plain_block():
+    """n_offset_groups adds a zero-init offset conv: at init the per-group
+    flows equal the base flow, so outputs match the plain block exactly —
+    a trained plain checkpoint upgrades in place."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videoframeinterpolation_tpu.nn.local_attn import (
+        LocalWindowCrossAttentionBlock,
+    )
+
+    B, H, W, C = 1, 12, 16, 16
+    rng = np.random.default_rng(0)
+    args = [jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+            for _ in range(3)]
+    flows = [jnp.asarray(
+        (rng.standard_normal((B, H, W, 2)) * 2).astype(np.float32))
+        for _ in range(2)]
+
+    plain = LocalWindowCrossAttentionBlock(C, C, radius=2, n_heads=4,
+                                           pred_res_flow=False)
+    goff = LocalWindowCrossAttentionBlock(C, C, radius=2, n_heads=4,
+                                          pred_res_flow=False,
+                                          n_offset_groups=4,
+                                          offset_scale=8.0)
+    p_goff = goff.init(jax.random.key(0), *args, *flows)
+    # Shared-submodule params transfer verbatim; the extra conv is zero.
+    p_plain = {"params": {k: v for k, v in p_goff["params"].items()
+                          if k != "conv_group_offset"}}
+    out_plain = plain.apply(p_plain, *args, *flows)
+    out_goff = goff.apply(p_goff, *args, *flows)
+    np.testing.assert_allclose(np.asarray(out_goff), np.asarray(out_plain),
+                               rtol=1e-6, atol=1e-6)
+
+    # And with a nonzero offset conv the outputs must actually change.
+    p2 = jax.tree_util.tree_map(lambda x: x, p_goff)
+    p2["params"]["conv_group_offset"]["kernel"] = (
+        p_goff["params"]["conv_group_offset"]["kernel"] + 0.5)
+    out2 = goff.apply(p2, *args, *flows)
+    assert not np.allclose(np.asarray(out2), np.asarray(out_plain),
+                           atol=1e-4)

@@ -41,6 +41,7 @@ class Config:
     # DAT-TPU window geometry (no reference equivalent)
     radii: Sequence[int] = (2, 2, 3)         # per level (lv3, lv2, lv1)
     offset_sets: Optional[Sequence] = None   # dilated taps per level
+    n_offset_groups: Sequence[int] = (0, 0, 0)  # learned per-group offsets
 
     # Data
     data_name: str = "Vimeo90KwFlow"

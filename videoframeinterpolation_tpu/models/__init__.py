@@ -71,6 +71,7 @@ MODEL_REGISTRY: dict[str, Any] = {
         radii=tuple(c.radii),
         offset_sets=(tuple(tuple(o) for o in c.offset_sets)
                      if c.offset_sets is not None else None),
+        n_offset_groups=tuple(c.n_offset_groups),
         dtype=_dt(c)),
 }
 

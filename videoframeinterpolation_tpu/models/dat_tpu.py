@@ -47,6 +47,9 @@ class DATwConstantnCTPU(nn.Module):
     # cost. The round-2 quality study uses
     # ((-2,-1,0,1,2), (-4,-2,-1,0,1,2,4), (-6,-4,-2,-1,0,1,2,4,6)).
     offset_sets: tuple | None = None
+    # Per-level learned per-group offsets (lv3, lv2, lv1); 0 disables.
+    # Offset scales mirror the reference's 2/4/8 tanh bounds.
+    n_offset_groups: tuple = (0, 0, 0)
     dtype: Any = None
 
     def setup(self):
@@ -54,6 +57,7 @@ class DATwConstantnCTPU(nn.Module):
         r3, r2, r1 = self.radii
         o3, o2, o1 = (self.offset_sets if self.offset_sets is not None
                       else (None, None, None))
+        g3, g2, g1 = self.n_offset_groups
         self.feature_encoder = SameChannelResEncoder(
             nf, self.enc_res_blocks, dtype=self.dtype)
         self.coarse_query_builder = DCNInterFeatBuilderWithT(nf,
@@ -61,15 +65,18 @@ class DATwConstantnCTPU(nn.Module):
         self.lv4_to_lv3 = conv_transpose_x2(nf + 4, dtype=self.dtype)
         self.dat_lv3 = LocalWindowCrossAttentionBlock(
             nf, nf, radius=r3, n_heads=4, mlp_ratio=self.mlp_ratio,
-            offsets_1d=o3, dtype=self.dtype)
+            offsets_1d=o3, n_offset_groups=g3, offset_scale=2.0,
+            dtype=self.dtype)
         self.lv3_to_lv2 = conv_transpose_x2(nf, dtype=self.dtype)
         self.dat_lv2 = LocalWindowCrossAttentionBlock(
             nf, nf, radius=r2, n_heads=8, mlp_ratio=self.mlp_ratio,
-            offsets_1d=o2, dtype=self.dtype)
+            offsets_1d=o2, n_offset_groups=g2, offset_scale=4.0,
+            dtype=self.dtype)
         self.lv2_to_lv1 = conv_transpose_x2(nf, dtype=self.dtype)
         self.dat_lv1 = LocalWindowCrossAttentionBlock(
             nf, nf, radius=r1, n_heads=8, mlp_ratio=self.mlp_ratio,
-            pred_res_flow=False, offsets_1d=o1, dtype=self.dtype)
+            pred_res_flow=False, offsets_1d=o1, n_offset_groups=g1,
+            offset_scale=8.0, dtype=self.dtype)
         self.pixel_generator = BasicResPixelShuffleGenerator(
             nf, self.dec_res_blocks, dtype=self.dtype)
 

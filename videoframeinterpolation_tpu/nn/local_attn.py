@@ -155,6 +155,13 @@ class LocalWindowCrossAttentionBlock(nn.Module):
     mlp_ratio: float = 2.0
     pred_res_flow: bool = True
     offsets_1d: tuple | None = None  # dilated taps; None = [-radius, radius]
+    # > 0: per-group learned continuous offsets (the reference's deformable
+    # capacity at 1/S of its gather rows): each of n_offset_groups channel
+    # groups is flow-aligned by its OWN tanh-bounded offset before the
+    # static window — one bwarp per group instead of G*S sparse gathers.
+    # Zero-init, so a checkpoint trained without offsets upgrades in place.
+    n_offset_groups: int = 0
+    offset_scale: float = 8.0
     dtype: Any = None
 
     def setup(self):
@@ -163,6 +170,13 @@ class LocalWindowCrossAttentionBlock(nn.Module):
         self.movement_conv2 = ConvPReLU(c, dtype=self.dtype)
         self.movement_res = HalfChannelConv5ResBlock(c, c // 2,
                                                      dtype=self.dtype)
+        if self.n_offset_groups:
+            from .blocks import conv, zero_init
+
+            self.conv_group_offset = conv(
+                self.n_offset_groups * 2, kernel_init=zero_init,
+                bias_init=zero_init, dtype=self.dtype,
+                name="conv_group_offset")
         if self.pred_res_flow:
             self.conv_res_flow = conv_transpose_x2(2, dtype=self.dtype)
         # Shifted-map attention: same params and math as SampleAttention
@@ -185,6 +199,22 @@ class LocalWindowCrossAttentionBlock(nn.Module):
         warped_b = bwarp(feat_b, ft_b)
         h = jnp.concatenate([feat_t_b, warped_b, ft_b], axis=-1)
         mv_b = self.movement_res(self.movement_conv2(self.movement_conv1(h)))
+
+        if self.n_offset_groups:
+            # Re-align each channel group by its own learned residual
+            # offset (G more dense bwarps — still 2*(1+G)*H*W gather rows
+            # total vs the reference's 2*G*S*H*W).
+            G = self.n_offset_groups
+            B2, H, W, C = feat_b.shape
+            Cg = C // G
+            off = self.offset_scale * jnp.tanh(self.conv_group_offset(mv_b))
+            off = off.reshape(B2, H, W, G, 2)
+            flows_g = (ft_b[:, :, :, None, :] + off).transpose(0, 3, 1, 2, 4)
+            feat_g = feat_b.reshape(B2, H, W, G, Cg).transpose(0, 3, 1, 2, 4)
+            warped_g = bwarp(feat_g.reshape(B2 * G, H, W, Cg),
+                             flows_g.reshape(B2 * G, H, W, 2))
+            warped_b = warped_g.reshape(B2, G, H, W, Cg).transpose(
+                0, 2, 3, 1, 4).reshape(B2, H, W, C)
 
         attended = self.attn(feat_t, warped_b[:B], warped_b[B:])
         out = attended + self.mlp(attended)
