@@ -57,6 +57,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--dilated", action="store_true",
                     help="DAT-TPU dilated window taps (wider reach)")
+    ap.add_argument("--goff", action="store_true",
+                    help="DAT-TPU per-group learned offsets")
     ap.add_argument("--out_dir", type=str,
                     default=str(Path(__file__).parent / "results"))
     args = ap.parse_args()
@@ -71,7 +73,8 @@ def main():
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    tag = args.model + ("_dilated" if args.dilated else "")
+    tag = (args.model + ("_dilated" if args.dilated else "")
+           + ("_goff" if args.goff else ""))
     out_path = out_dir / f"{tag}.jsonl"
 
     OFFSET_SETS = ((-2, -1, 0, 1, 2), (-4, -2, -1, 0, 1, 2, 4),
@@ -83,6 +86,7 @@ def main():
         last_lr_decay_iter=args.steps, warmup_steps=args.warmup,
         seed=args.seed,
         offset_sets=OFFSET_SETS if args.dilated else None,
+        n_offset_groups=(4, 8, 8) if args.goff else (0, 0, 0),
     )
     model = create_model(cfg)
     mesh = create_mesh()
@@ -106,7 +110,8 @@ def main():
     # fp32 eval path (framework convention) over the held-out pool.
     eval_cfg = Config(model_name=args.model, nf=args.nf,
                       compute_dtype="float32",
-                      offset_sets=OFFSET_SETS if args.dilated else None)
+                      offset_sets=OFFSET_SETS if args.dilated else None,
+                      n_offset_groups=(4, 8, 8) if args.goff else (0, 0, 0))
     eval_model = create_model(eval_cfg)
     infer = jax.jit(lambda p, a, b, t: eval_model.apply(p, a, b, t))
     vx0, vx1, vt = (jnp.asarray(val[k]) for k in ("x0", "x1", "t"))
