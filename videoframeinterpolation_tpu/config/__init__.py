@@ -42,6 +42,8 @@ class Config:
     radii: Sequence[int] = (2, 2, 3)         # per level (lv3, lv2, lv1)
     offset_sets: Optional[Sequence] = None   # dilated taps per level
     n_offset_groups: Sequence[int] = (0, 0, 0)  # learned per-group offsets
+    # Flagship exact-parity windowed sampling fast path (nn/window_attn.py).
+    window_sampling: bool = False
 
     # Data
     data_name: str = "Vimeo90KwFlow"

@@ -53,10 +53,14 @@ class DATwConstantnC(nn.Module):
     enc_res_blocks: int = 5
     dec_res_blocks: int = 10
     mlp_ratio: float = 2.0
+    # Exact-parity windowed sampling (ops/windowed.py): same math and the
+    # same parameter tree, ~13x fewer gather rows at the finest level.
+    window_sampling: bool = False
     dtype: Any = None
 
     def setup(self):
         nf = self.nf
+        ws = self.window_sampling
         self.feature_encoder = SameChannelResEncoder(
             nf, self.enc_res_blocks, dtype=self.dtype
         )
@@ -64,18 +68,20 @@ class DATwConstantnC(nn.Module):
         self.lv4_to_lv3 = conv_transpose_x2(nf + 4, dtype=self.dtype)
         self.dat_lv3 = CrossDeformableAttentionBlock(
             nf, nf, n_samples=8, n_groups=4, n_heads=4,
-            offset_scale=2.0, mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+            offset_scale=2.0, mlp_ratio=self.mlp_ratio,
+            window_sampling=ws, dtype=self.dtype,
         )
         self.lv3_to_lv2 = conv_transpose_x2(nf, dtype=self.dtype)
         self.dat_lv2 = CrossDeformableAttentionBlock(
             nf, nf, n_samples=16, n_groups=8, n_heads=8,
-            offset_scale=4.0, mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+            offset_scale=4.0, mlp_ratio=self.mlp_ratio,
+            window_sampling=ws, dtype=self.dtype,
         )
         self.lv2_to_lv1 = conv_transpose_x2(nf, dtype=self.dtype)
         self.dat_lv1 = CrossDeformableAttentionBlock(
             nf, nf, n_samples=32, n_groups=8, n_heads=8,
             offset_scale=8.0, mlp_ratio=self.mlp_ratio,
-            pred_res_flow=False, dtype=self.dtype,
+            pred_res_flow=False, window_sampling=ws, dtype=self.dtype,
         )
         self.pixel_generator = BasicResPixelShuffleGenerator(
             nf, self.dec_res_blocks, dtype=self.dtype

@@ -131,6 +131,11 @@ class CrossDeformableAttentionBlock(nn.Module):
     mlp_ratio: float = 2.0
     offset_scale: float = 2.0
     pred_res_flow: bool = True
+    # Exact-parity fast path: resolve all G·S samples from one K x K window
+    # fetch per query instead of per-tap gathers (see ops/windowed.py).
+    # Pure implementation switch — identical function and parameter tree,
+    # so checkpoints transfer across the flag.
+    window_sampling: bool = False
     dtype: Any = None
 
     def setup(self):
@@ -146,7 +151,8 @@ class CrossDeformableAttentionBlock(nn.Module):
         if self.pred_res_flow:
             self.conv_res_flow = conv_transpose_x2(2, dtype=self.dtype)
         self.attn = SampleAttention(
-            self.out_features, self.n_samples * 2, self.n_heads, dtype=self.dtype
+            self.out_features, self.n_samples * 2, self.n_heads,
+            dtype=self.dtype,
         )
         self.mlp = FeedForward(
             int(self.out_features * self.mlp_ratio), self.out_features,
@@ -160,11 +166,13 @@ class CrossDeformableAttentionBlock(nn.Module):
         h = self.movement_conv2(h)
         return self.movement_res(h)
 
-    def _ref_offsets(self, ftx: Array, movement_feat: Array) -> Array:
-        B, H, W, _ = ftx.shape
+    def _res_offsets(self, movement_feat: Array) -> Array:
+        B, H, W, _ = movement_feat.shape
         res = self.offset_scale * jnp.tanh(self.conv_res_offset(movement_feat))
-        res = res.reshape(B, H, W, self.n_groups, self.n_samples, 2)
-        return res + ftx[:, :, :, None, None, :]
+        return res.reshape(B, H, W, self.n_groups, self.n_samples, 2)
+
+    def _ref_offsets(self, ftx: Array, movement_feat: Array) -> Array:
+        return self._res_offsets(movement_feat) + ftx[:, :, :, None, None, :]
 
     def __call__(
         self, feat_t: Array, feat0: Array, feat1: Array, ft0: Array, ft1: Array
@@ -179,9 +187,16 @@ class CrossDeformableAttentionBlock(nn.Module):
         feat_t_b = jnp.concatenate([feat_t, feat_t], axis=0)
 
         mv_b = self._movement_feats(feat_t_b, feat_b, ft_b)
-        off_b = self._ref_offsets(ft_b, mv_b)
-        kv_b = _grouped_deformable_sample(feat_b, off_b, self.n_groups)
+        res_b = self._res_offsets(mv_b)
+        if self.window_sampling:
+            from ..ops.windowed import windowed_deformable_sample
 
+            kv_b = windowed_deformable_sample(
+                feat_b, ft_b, res_b, self.n_groups, self.offset_scale
+            )
+        else:
+            off_b = res_b + ft_b[:, :, :, None, None, :]
+            kv_b = _grouped_deformable_sample(feat_b, off_b, self.n_groups)
         attended = self.attn(
             feat_t, jnp.concatenate([kv_b[:B], kv_b[B:]], axis=1)
         )
