@@ -7,6 +7,7 @@ from .interp import (
     scale_resize,
 )
 from .warp import bwarp, fwarp, fwarp_mframes, fwarp_using_two_frames
+from .windowed import windowed_deformable_sample
 from .softsplat import softsplat, softsplat_raw
 from .dcn import deform_conv2d
 from .pixelshuffle import pixel_shuffle, pixel_unshuffle
@@ -28,6 +29,7 @@ __all__ = [
     "fwarp",
     "fwarp_mframes",
     "fwarp_using_two_frames",
+    "windowed_deformable_sample",
     "softsplat",
     "softsplat_raw",
     "deform_conv2d",
