@@ -34,9 +34,10 @@ def test_windowed_sample_matches_gather_sample():
     feat, flow, res = _sample_inputs()
     ref = _grouped_deformable_sample(
         feat, res + flow[:, :, :, None, None, :], 2)
-    win = windowed_deformable_sample(feat, flow, res, 2, 2.0)
-    np.testing.assert_allclose(np.asarray(win), np.asarray(ref),
-                               rtol=0, atol=1e-5)
+    for impl in ("slice", "packed"):
+        win = windowed_deformable_sample(feat, flow, res, 2, 2.0, impl=impl)
+        np.testing.assert_allclose(np.asarray(win), np.asarray(ref),
+                                   rtol=0, atol=1e-5, err_msg=impl)
 
 
 def test_windowed_sample_matches_at_large_offset_scale():

@@ -52,20 +52,28 @@ def bench_ops(q_chunk: int):
             jnp.bfloat16)
 
         # time_loop chains args[1] (flow) through a scalar data dependence.
-        def win_f(feat, flow, res):
-            return windowed_deformable_sample(
-                feat, flow, res, G, osc, q_chunk=q_chunk
-            ).astype(jnp.float32).sum()
+        def make_win(impl):
+            def win_f(feat, flow, res):
+                return windowed_deformable_sample(
+                    feat, flow, res, G, osc, q_chunk=q_chunk, impl=impl
+                ).astype(jnp.float32).sum()
+            return win_f
 
         def gat_f(feat, flow, res):
             off = res.astype(jnp.float32) + flow[:, :, :, None, None, :]
             return _grouped_deformable_sample(feat, off, G).astype(
                 jnp.float32).sum()
 
-        tw = time_loop(win_f, (feat, flow, res), n_hi=9)
+        for impl in ("slice", "packed"):
+            try:
+                tw = time_loop(make_win(impl), (feat, flow, res), n_hi=9)
+                print(f"{name}: windowed[{impl}] {tw*1e3:8.3f} ms",
+                      flush=True)
+            except Exception as e:
+                print(f"{name}: windowed[{impl}] FAILED "
+                      f"{type(e).__name__}: {str(e)[:160]}", flush=True)
         tg = time_loop(gat_f, (feat, flow, res), n_hi=9)
-        print(f"{name}: windowed {tw*1e3:8.3f} ms   gather {tg*1e3:8.3f} ms "
-              f"  speedup {tg/tw:5.2f}x", flush=True)
+        print(f"{name}: gather {tg*1e3:8.3f} ms", flush=True)
 
 
 def bench_model(q_chunk: int, hd: bool):

@@ -71,6 +71,7 @@ def windowed_deformable_sample(
     n_groups: int,
     offset_scale: float,
     q_chunk: int = 2048,
+    impl: str = "slice",
 ) -> Array:
     """Grouped deformable sampling via per-query window strips.
 
@@ -85,10 +86,17 @@ def windowed_deformable_sample(
       offset_scale: static bound on ``|res_offsets|`` (sets the window size).
       q_chunk: queries per sequential band — bounds the live window tensor
         to ``B·q_chunk·K²·C`` elements.
+      impl: strip fetch formulation — ``"slice"`` gathers ``(K, C)`` slices
+        straight from the padded map (one gather index per strip);
+        ``"packed"`` pre-packs each K-pixel strip into one table row
+        (K x map memory) and gathers single rows via ``take_along_axis``,
+        the formulation already proven fast for quads in ``ops/interp.py``.
 
     Returns:
       ``(B, S, H*W, C)`` sampled key/value tensor (zeros out of bounds).
     """
+    if impl not in ("slice", "packed"):
+        raise ValueError(f"unknown impl: {impl!r}")
     B, H, W, C = feat.shape
     G = n_groups
     S = res_offsets.shape[4]
@@ -102,7 +110,25 @@ def windowed_deformable_sample(
     # K zero columns left/right (any OOB strip segment reads zeros).
     fp = jnp.pad(feat, ((0, 0), (1, 1), (K, K), (0, 0)))
     Wp = W + 2 * K
-    flat = fp.reshape(B, (H + 2) * Wp, C)
+    if impl == "slice":
+        row_len = Wp
+        flat = fp.reshape(B, (H + 2) * Wp, C)
+
+        def fetch(fl, st, n):
+            return jax.vmap(
+                lambda f, s: gather_strip_rows(f, s, K, C)
+            )(fl, st).reshape(B, n, K, K, C)
+    else:
+        # Pack each K-pixel strip into one table row (K x map memory);
+        # strips then cost exactly one gathered row each.
+        row_len = Wp - K + 1
+        packed = jnp.concatenate(
+            [fp[:, :, dx:dx + row_len] for dx in range(K)], axis=-1)
+        flat = packed.reshape(B, (H + 2) * row_len, K * C)
+
+        def fetch(fl, st, n):
+            rows = jnp.take_along_axis(fl, st[..., None], axis=1)
+            return rows.reshape(B, n, K, K, C)
 
     # Window centers: query + floor(flow). In-window tap coordinate
     # u = frac(flow) + res + r lies in (0, K-1).
@@ -116,7 +142,7 @@ def windowed_deformable_sample(
         jnp.arange(K, dtype=jnp.int32) - r)            # (B, H, W, K)
     row = jnp.clip(iy, -1, H) + 1
     col0 = jnp.clip(gx[None] + ci[..., 0] - r, -K, W) + K  # (B, H, W)
-    starts = (row * Wp + col0[..., None]).reshape(B, N, K)
+    starts = (row * row_len + col0[..., None]).reshape(B, N, K)
 
     res = res_offsets.astype(f32)
     u_x = (res[..., 0] + frac[..., None, None, 0] + r).reshape(B, N, G, S)
@@ -130,9 +156,7 @@ def windowed_deformable_sample(
     def band(args):
         st_c, ux_c, uy_c = args
         n = st_c.shape[1]
-        win = jax.vmap(
-            lambda fl, st: gather_strip_rows(fl, st, K, C)
-        )(flat, st_c.reshape(B, n * K))
+        win = fetch(flat, st_c.reshape(B, n * K), n)
         win = win.reshape(B, n, K, K, G, Cg)           # (b, n, ky, kx, g, cg)
 
         # Bilinear tent weights over the integer window grid (exactly the
