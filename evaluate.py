@@ -21,6 +21,10 @@ def main() -> None:
                         choices=["vimeo90k", "ucf101", "snu", "synthetic"])
     parser.add_argument("--ssim", action="store_true")
     parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--window_sampling", action="store_true",
+                        help="evaluate through the exact-parity windowed "
+                        "sampling fast path (same params — any flagship "
+                        "checkpoint works)")
     args = parser.parse_args()
 
     import jax
@@ -44,6 +48,8 @@ def main() -> None:
 
     # float32 evaluation for PSNR parity regardless of training dtype.
     cfg.compute_dtype = "float32"
+    if args.window_sampling:
+        cfg.window_sampling = True
     model = create_model(cfg)
 
     import jax.numpy as jnp

@@ -29,6 +29,8 @@ def _load_model(args):
     from videoframeinterpolation_tpu.train.state import create_train_state
 
     cfg = Config.from_yaml(args.config, exp_name=args.exp_name or "infer")
+    if getattr(args, "window_sampling", False):
+        cfg.window_sampling = True
     model = create_model(cfg)
     dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
     t = jnp.full((1, 1, 1, 1), 0.5, jnp.float32)
@@ -91,6 +93,9 @@ def main() -> None:
     parser.add_argument("--out_dir", help="sequence mode: output dir")
     parser.add_argument("--factor", type=int, default=2,
                         help="sequence mode: frame-rate multiplier (pow 2)")
+    parser.add_argument("--window_sampling", action="store_true",
+                        help="exact-parity windowed sampling fast path "
+                        "(same params -- any flagship checkpoint works)")
     parser.add_argument("--tile", type=int, default=0,
                         help="spatial tile size for HD/4K inputs (0 = off)")
     args = parser.parse_args()

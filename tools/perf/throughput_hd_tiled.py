@@ -31,9 +31,12 @@ ap.add_argument("--tile_batch", type=int, default=8)
 ap.add_argument("--height", type=int, default=720)
 ap.add_argument("--width", type=int, default=1280)
 ap.add_argument("--reps", type=int, default=3)
+ap.add_argument("--window_sampling", action="store_true",
+                help="flagship exact-parity windowed sampling fast path")
 args = ap.parse_args()
 
-cfg = Config(model_name=args.model, compute_dtype="bfloat16")
+cfg = Config(model_name=args.model, compute_dtype="bfloat16",
+             window_sampling=args.window_sampling)
 model = create_model(cfg)
 rng = np.random.default_rng(0)
 H, W = args.height, args.width
@@ -62,6 +65,7 @@ for _i in range(args.reps):
     _ = float(jnp.sum(out))
     times.append(time.perf_counter() - t0)
 best = min(times)
-print(f"{args.model} {args.mode} {H}x{W}: {best*1e3:.1f} ms/pair "
+tag = " window" if args.window_sampling else ""
+print(f"{args.model}{tag} {args.mode} {H}x{W}: {best*1e3:.1f} ms/pair "
       f"= {1.0/best:.2f} pairs/s/chip (reps: "
       + ", ".join(f"{x*1e3:.0f}" for x in times) + ")")
