@@ -107,17 +107,67 @@ def bench_model(q_chunk: int, hd: bool):
                       f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 
+def bench_train():
+    """Training-step (fwd+bwd+loss) latency at the flagship recipe's
+    256x256 crop, window path on vs off."""
+    from videoframeinterpolation_tpu.config import Config
+    from videoframeinterpolation_tpu.models import create_model, dat_loss
+
+    rng = np.random.default_rng(0)
+    B, H, W = 8, 256, 256
+    batch = {
+        "x0": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32),
+        "x1": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32),
+        "xt": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32),
+        "t": jnp.full((B, 1, 1, 1), 0.5, jnp.float32),
+        "f0x": jnp.asarray(
+            rng.standard_normal((B, H, W, 2)) * 0.02, jnp.float32),
+        "f1x": jnp.asarray(
+            rng.standard_normal((B, H, W, 2)) * 0.02, jnp.float32),
+    }
+    for ws in (True, False):
+        cfg = Config(model_name="DATwConstantnCv1",
+                     compute_dtype="bfloat16", window_sampling=ws)
+        model = create_model(cfg)
+        params = model.init(jax.random.key(0), batch["x0"][:1],
+                            batch["x1"][:1], batch["t"][:1], train=True)
+
+        def loss_fn(params, x0, x1, xt, t, f0x, f1x):
+            pred, inter = model.apply(params, x0, x1, t, train=True)
+            b = {"xt": xt, "f0x": f0x, "f1x": f1x}
+            total, _ = dat_loss(pred, inter, b)
+            return total
+
+        # time_loop chains args[1] (x0) through a scalar touching the loss
+        # and EVERY parameter gradient (nothing prunable).
+        def step(params, x0, x1, xt, t, f0x, f1x):
+            loss, g = jax.value_and_grad(loss_fn)(
+                params, x0, x1, xt, t, f0x, f1x)
+            s = sum(jnp.sum(l.astype(jnp.float32))
+                    for l in jax.tree_util.tree_leaves(g))
+            return loss + s * 1e-12
+
+        sec = time_loop(step, (params, batch["x0"], batch["x1"],
+                               batch["xt"], batch["t"], batch["f0x"],
+                               batch["f1x"]), n_hi=5)
+        print(f"DAT train fwd+bwd 256x256 b{B} window_sampling={ws}: "
+              f"{sec*1e3:8.1f} ms/step", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ops", action="store_true")
     ap.add_argument("--model", action="store_true")
     ap.add_argument("--hd", action="store_true")
+    ap.add_argument("--train", action="store_true")
     ap.add_argument("--q_chunk", type=int, default=2048)
     args = ap.parse_args()
     if args.ops:
         bench_ops(args.q_chunk)
     if args.model or args.hd:
         bench_model(args.q_chunk, args.hd)
+    if args.train:
+        bench_train()
 
 
 if __name__ == "__main__":
