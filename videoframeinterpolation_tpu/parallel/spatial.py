@@ -86,6 +86,7 @@ def make_tiled_infer(
     tile_hw: tuple[int, int] = (256, 256),
     overlap: int = 64,
     tile_batch: int = 8,
+    mesh=None,
 ) -> Callable:
     """ONE compiled program for the whole HD tile sweep.
 
@@ -101,6 +102,11 @@ def make_tiled_infer(
       apply_fn: ``(params, x0, x1, t) -> pred`` model forward (NOT
         pre-jitted; params stay an argument so they are not inlined as
         compile-time constants).
+      mesh: optional 1-D data ``jax.sharding.Mesh`` — tiles are sharded
+        across its devices and the whole sweep runs as one collective-free
+        batched apply (each device computes its tile slice; the blend
+        gathers at the end). Without a mesh, tile chunks of ``tile_batch``
+        run sequentially under ``lax.map`` to bound single-chip memory.
 
     Returns:
       jitted ``tiled(params, x0, x1, t) -> (1, H, W, 3)``; recompiles per
@@ -116,21 +122,35 @@ def make_tiled_infer(
 
         tiles0 = jnp.stack([x0[0, y:y + th, x:x + tw] for (y, x) in coords])
         tiles1 = jnp.stack([x1[0, y:y + th, x:x + tw] for (y, x) in coords])
-        n_pad = (math.ceil(n / tile_batch) * tile_batch) - n
+        chunk = tile_batch if mesh is None else int(mesh.size)
+        n_pad = (math.ceil(n / chunk) * chunk) - n
         if n_pad:
             pad_idx = np.arange(n_pad) % n  # wraps when n < n_pad
             tiles0 = jnp.concatenate([tiles0, tiles0[pad_idx]], axis=0)
             tiles1 = jnp.concatenate([tiles1, tiles1[pad_idx]], axis=0)
-        nc = (n + n_pad) // tile_batch
-        tiles0 = tiles0.reshape(nc, tile_batch, th, tw, C)
-        tiles1 = tiles1.reshape(nc, tile_batch, th, tw, C)
-        tb = jnp.broadcast_to(t, (tile_batch, 1, 1, 1))
 
-        preds = jax.lax.map(
-            lambda pair: apply_fn(params, pair[0], pair[1], tb),
-            (tiles0, tiles1),
-        )
-        preds = preds.reshape(nc * tile_batch, th, tw, C)[:n]
+        if mesh is not None:
+            # Tiles ride the batch axis across the mesh: one embarrassingly
+            # parallel batched apply, every device holding (n+pad)/mesh.size
+            # tiles (SURVEY section 5.7's spatial-parallel slot).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            tiles0 = jax.lax.with_sharding_constraint(tiles0, sh)
+            tiles1 = jax.lax.with_sharding_constraint(tiles1, sh)
+            tb = jnp.broadcast_to(t, (n + n_pad, 1, 1, 1))
+            preds = apply_fn(params, tiles0, tiles1, tb)[:n]
+        else:
+            nc = (n + n_pad) // tile_batch
+            tiles0 = tiles0.reshape(nc, tile_batch, th, tw, C)
+            tiles1 = tiles1.reshape(nc, tile_batch, th, tw, C)
+            tb = jnp.broadcast_to(t, (tile_batch, 1, 1, 1))
+
+            preds = jax.lax.map(
+                lambda pair: apply_fn(params, pair[0], pair[1], tb),
+                (tiles0, tiles1),
+            )
+            preds = preds.reshape(nc * tile_batch, th, tw, C)[:n]
 
         weights = jnp.asarray(
             _blend_weights(coords, th, tw, H, W, overlap), preds.dtype)
