@@ -30,9 +30,12 @@ slices + stack into an 18-lane-minor buffer) waste 110/128 lanes of every
 vector op, and the Mosaic lane gather requires a further pad to 128 lanes;
 the resulting per-tile cost is ~90x the lane-dense ideal. Closing that gap
 needs a hardware gather across more than one vreg, which this Mosaic stack
-does not expose (tools/perf/README.md). The XLA row-gather formulation
-(ops/interp.py) remains the production path; this file preserves the
-window decomposition and its exact-parity tests for future toolchains.
+does not expose (tools/perf/README.md). The same window decomposition was
+subsequently re-expressed in pure XLA with tent-weight MXU einsums doing
+the in-window tap resolution — ``ops/windowed.py``, the production fast
+path (``window_sampling`` config flag). This file preserves the Mosaic
+variant of the decomposition and its exact-parity tests for future
+toolchains.
 """
 
 from __future__ import annotations
