@@ -1,0 +1,77 @@
+"""Latency/throughput of the shared-offset flagship variant on the real TPU.
+
+``shared_offsets=True`` keeps the flagship architecture (learned sparse
+tanh-bounded offsets, same attention/losses/pyramid) but learns ONE offset
+set per DAT level instead of one per channel group, cutting sampler gather
+rows by ``n_groups`` (8x at lv1) — the measured cost model says rows are
+everything (``tools/perf/README.md``). Quality is measured head-to-head in
+``tools/quality/head_to_head.py --shared``.
+
+Usage (ONE TPU process at a time):
+  python tools/perf/shared_offsets_bench.py [--hd] [--batch4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bench import time_loop
+
+
+def bench(shapes, batch_sizes, shared_vals):
+    from videoframeinterpolation_tpu.config import Config
+    from videoframeinterpolation_tpu.models import create_model
+
+    for name, H, W in shapes:
+        for B in batch_sizes:
+            rng = np.random.default_rng(0)
+            x0 = jnp.asarray(
+                rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+            x1 = jnp.asarray(
+                rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+            t = jnp.full((B, 1, 1, 1), 0.5, jnp.float32)
+            for so in shared_vals:
+                cfg = Config(model_name="DATwConstantnCv1",
+                             compute_dtype="bfloat16", shared_offsets=so)
+                model = create_model(cfg)
+                params = model.init(jax.random.key(0), x0[:1, :32, :32],
+                                    x1[:1, :32, :32], t[:1])
+
+                def fwd(params, x0, x1, t):
+                    return model.apply(params, x0, x1, t)
+
+                try:
+                    sec = time_loop(fwd, (params, x0, x1, t), n_hi=9)
+                    ms = sec * 1e3
+                    print(f"DAT {name} b{B} shared_offsets={so}: "
+                          f"{ms:8.3f} ms/batch = {ms/B:7.3f} ms/frame",
+                          flush=True)
+                except Exception as e:
+                    print(f"DAT {name} b{B} shared_offsets={so}: FAILED "
+                          f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hd", action="store_true")
+    ap.add_argument("--batch4", action="store_true")
+    args = ap.parse_args()
+
+    shapes = [("448x256", 256, 448)]
+    bench(shapes, [1], [True])
+    if args.batch4:
+        bench(shapes, [4], [True])
+    if args.hd:
+        bench([("1280x720", 720, 1280)], [1], [True])
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,9 @@ def main():
                     help="DAT-TPU dilated window taps (wider reach)")
     ap.add_argument("--goff", action="store_true",
                     help="DAT-TPU per-group learned offsets")
+    ap.add_argument("--shared", action="store_true",
+                    help="flagship shared-offset variant (one offset set "
+                         "per DAT level, 8x fewer sampler gather rows)")
     ap.add_argument("--out_dir", type=str,
                     default=str(Path(__file__).parent / "results"))
     args = ap.parse_args()
@@ -74,7 +77,8 @@ def main():
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     tag = (args.model + ("_dilated" if args.dilated else "")
-           + ("_goff" if args.goff else ""))
+           + ("_goff" if args.goff else "")
+           + ("_shared" if args.shared else ""))
     out_path = out_dir / f"{tag}.jsonl"
 
     OFFSET_SETS = ((-2, -1, 0, 1, 2), (-4, -2, -1, 0, 1, 2, 4),
@@ -87,6 +91,7 @@ def main():
         seed=args.seed,
         offset_sets=OFFSET_SETS if args.dilated else None,
         n_offset_groups=(4, 8, 8) if args.goff else (0, 0, 0),
+        shared_offsets=args.shared,
     )
     model = create_model(cfg)
     mesh = create_mesh()
@@ -111,7 +116,8 @@ def main():
     eval_cfg = Config(model_name=args.model, nf=args.nf,
                       compute_dtype="float32",
                       offset_sets=OFFSET_SETS if args.dilated else None,
-                      n_offset_groups=(4, 8, 8) if args.goff else (0, 0, 0))
+                      n_offset_groups=(4, 8, 8) if args.goff else (0, 0, 0),
+                      shared_offsets=args.shared)
     eval_model = create_model(eval_cfg)
     infer = jax.jit(lambda p, a, b, t: eval_model.apply(p, a, b, t))
     vx0, vx1, vt = (jnp.asarray(val[k]) for k in ("x0", "x1", "t"))

@@ -42,8 +42,12 @@ class Config:
     radii: Sequence[int] = (2, 2, 3)         # per level (lv3, lv2, lv1)
     offset_sets: Optional[Sequence] = None   # dilated taps per level
     n_offset_groups: Sequence[int] = (0, 0, 0)  # learned per-group offsets
-    # Flagship exact-parity windowed sampling fast path (nn/window_attn.py).
+    # Flagship exact-parity windowed sampling fast path (ops/windowed.py).
     window_sampling: bool = False
+    # Flagship TPU-fast variant: one offset set shared by all channel
+    # groups per DAT level (8x fewer sampler gather rows at lv1). Trains
+    # from scratch; quality head-to-head in BENCH_NOTES.md.
+    shared_offsets: bool = False
 
     # Data
     data_name: str = "Vimeo90KwFlow"

@@ -136,6 +136,11 @@ class CrossDeformableAttentionBlock(nn.Module):
     # Pure implementation switch — identical function and parameter tree,
     # so checkpoints transfer across the flag.
     window_sampling: bool = False
+    # TPU-fast architecture variant (NOT checkpoint-compatible with the
+    # reference): one learned offset set shared by every channel group, so
+    # the sampler gathers S rows per query instead of G*S. Attention heads
+    # are unchanged. Quality measured head-to-head in BENCH_NOTES.md.
+    shared_offsets: bool = False
     dtype: Any = None
 
     def setup(self):
@@ -143,8 +148,9 @@ class CrossDeformableAttentionBlock(nn.Module):
         self.movement_conv1 = ConvPReLU(c * 2, dtype=self.dtype)
         self.movement_conv2 = ConvPReLU(c, dtype=self.dtype)
         self.movement_res = HalfChannelConv5ResBlock(c, c // 2, dtype=self.dtype)
+        self.n_offset_sets = 1 if self.shared_offsets else self.n_groups
         self.conv_res_offset = conv(
-            self.n_groups * self.n_samples * 2,
+            self.n_offset_sets * self.n_samples * 2,
             kernel_init=zero_init, bias_init=zero_init, dtype=self.dtype,
             name="conv_res_offset",
         )
@@ -169,7 +175,7 @@ class CrossDeformableAttentionBlock(nn.Module):
     def _res_offsets(self, movement_feat: Array) -> Array:
         B, H, W, _ = movement_feat.shape
         res = self.offset_scale * jnp.tanh(self.conv_res_offset(movement_feat))
-        return res.reshape(B, H, W, self.n_groups, self.n_samples, 2)
+        return res.reshape(B, H, W, self.n_offset_sets, self.n_samples, 2)
 
     def _ref_offsets(self, ftx: Array, movement_feat: Array) -> Array:
         return self._res_offsets(movement_feat) + ftx[:, :, :, None, None, :]
@@ -192,11 +198,11 @@ class CrossDeformableAttentionBlock(nn.Module):
             from ..ops.windowed import windowed_deformable_sample
 
             kv_b = windowed_deformable_sample(
-                feat_b, ft_b, res_b, self.n_groups, self.offset_scale
+                feat_b, ft_b, res_b, self.n_offset_sets, self.offset_scale
             )
         else:
             off_b = res_b + ft_b[:, :, :, None, None, :]
-            kv_b = _grouped_deformable_sample(feat_b, off_b, self.n_groups)
+            kv_b = _grouped_deformable_sample(feat_b, off_b, self.n_offset_sets)
         attended = self.attn(
             feat_t, jnp.concatenate([kv_b[:B], kv_b[B:]], axis=1)
         )
