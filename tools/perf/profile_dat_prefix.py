@@ -1,10 +1,17 @@
-"""Progressive-prefix timing of the DAT forward (params as args)."""
-import time, numpy as np, jax, jax.numpy as jnp
+"""Progressive-prefix timing of the DAT forward (params as args).
+
+--shared profiles the shared-offset fast variant (configs/DAT_fast.yaml).
+"""
+import argparse, time, numpy as np, jax, jax.numpy as jnp
 from videoframeinterpolation_tpu.models.dat import DATwConstantnC
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--shared", action="store_true")
+_args = _ap.parse_args()
 
 dt = "bfloat16"
 model = DATwConstantnC(nf=72, enc_res_blocks=5, dec_res_blocks=10, mlp_ratio=2.0,
-                       dtype=jnp.bfloat16)
+                       shared_offsets=_args.shared, dtype=jnp.bfloat16)
 H, W = 256, 448
 rng = np.random.default_rng(0)
 x0 = jnp.asarray(rng.uniform(0,1,(1,H,W,3)).astype(np.float32))

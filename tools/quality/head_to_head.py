@@ -62,6 +62,10 @@ def main():
     ap.add_argument("--shared", action="store_true",
                     help="flagship shared-offset variant (one offset set "
                          "per DAT level, 8x fewer sampler gather rows)")
+    ap.add_argument("--shared_levels", default=None,
+                    help="comma list of DAT levels with shared offsets, "
+                         "e.g. '2,1' shares lv2+lv1 and keeps per-group "
+                         "offsets at lv3 (overrides --shared)")
     ap.add_argument("--out_dir", type=str,
                     default=str(Path(__file__).parent / "results"))
     args = ap.parse_args()
@@ -76,9 +80,16 @@ def main():
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    if args.shared_levels:
+        lv = {int(x) for x in args.shared_levels.split(",")}
+        shared = tuple(l in lv for l in (3, 2, 1))
+        shared_tag = "_shared" + "".join(str(l) for l in sorted(lv, reverse=True))
+    else:
+        shared = bool(args.shared)
+        shared_tag = "_shared" if args.shared else ""
     tag = (args.model + ("_dilated" if args.dilated else "")
            + ("_goff" if args.goff else "")
-           + ("_shared" if args.shared else ""))
+           + shared_tag)
     out_path = out_dir / f"{tag}.jsonl"
 
     OFFSET_SETS = ((-2, -1, 0, 1, 2), (-4, -2, -1, 0, 1, 2, 4),
@@ -91,7 +102,7 @@ def main():
         seed=args.seed,
         offset_sets=OFFSET_SETS if args.dilated else None,
         n_offset_groups=(4, 8, 8) if args.goff else (0, 0, 0),
-        shared_offsets=args.shared,
+        shared_offsets=shared,
     )
     model = create_model(cfg)
     mesh = create_mesh()
@@ -117,7 +128,7 @@ def main():
                       compute_dtype="float32",
                       offset_sets=OFFSET_SETS if args.dilated else None,
                       n_offset_groups=(4, 8, 8) if args.goff else (0, 0, 0),
-                      shared_offsets=args.shared)
+                      shared_offsets=shared)
     eval_model = create_model(eval_cfg)
     infer = jax.jit(lambda p, a, b, t: eval_model.apply(p, a, b, t))
     vx0, vx1, vt = (jnp.asarray(val[k]) for k in ("x0", "x1", "t"))

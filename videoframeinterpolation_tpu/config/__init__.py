@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 from pathlib import Path
-from typing import Any, Optional, Sequence
+from typing import Any, Optional, Sequence, Union
 
 import yaml
 
@@ -45,9 +45,10 @@ class Config:
     # Flagship exact-parity windowed sampling fast path (ops/windowed.py).
     window_sampling: bool = False
     # Flagship TPU-fast variant: one offset set shared by all channel
-    # groups per DAT level (8x fewer sampler gather rows at lv1). Trains
-    # from scratch; quality head-to-head in BENCH_NOTES.md.
-    shared_offsets: bool = False
+    # groups per DAT level (8x fewer sampler gather rows at lv1). True
+    # shares every level; a (lv3, lv2, lv1) triple selects per level.
+    # Trains from scratch; quality head-to-head in BENCH_NOTES.md.
+    shared_offsets: Union[bool, Sequence[bool]] = False
 
     # Data
     data_name: str = "Vimeo90KwFlow"

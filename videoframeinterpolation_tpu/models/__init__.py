@@ -40,7 +40,10 @@ MODEL_REGISTRY: dict[str, Any] = {
     "DATwConstantnC": lambda c: DATwConstantnC(
         nf=c.nf, enc_res_blocks=c.enc_res_blocks,
         dec_res_blocks=c.dec_res_blocks, mlp_ratio=c.mlp_ratio,
-        window_sampling=c.window_sampling, shared_offsets=c.shared_offsets,
+        window_sampling=c.window_sampling,
+        shared_offsets=(tuple(c.shared_offsets)
+                        if isinstance(c.shared_offsets, (list, tuple))
+                        else c.shared_offsets),
         dtype=_dt(c)),
     # archive families (reference models/archive/)
     "IFRNet": lambda c: IFRNet(dtype=_dt(c)),

@@ -57,16 +57,19 @@ class DATwConstantnC(nn.Module):
     # same parameter tree, ~13x fewer gather rows at the finest level.
     window_sampling: bool = False
     # TPU-fast variant (trains from scratch, NOT reference-checkpoint
-    # compatible): each DAT level learns ONE offset set shared by all its
-    # channel groups, cutting sampler gather rows by n_groups (8x at lv1).
-    # Everything else — attention heads, losses, pyramid — is unchanged.
-    shared_offsets: bool = False
+    # compatible): a DAT level with shared offsets learns ONE offset set
+    # shared by all its channel groups, cutting its sampler gather rows by
+    # n_groups (8x at lv1). Everything else — attention heads, losses,
+    # pyramid — is unchanged. True shares every level; a (lv3, lv2, lv1)
+    # triple selects per level (quality study in BENCH_NOTES.md).
+    shared_offsets: bool | tuple = False
     dtype: Any = None
 
     def setup(self):
         nf = self.nf
         ws = self.window_sampling
         so = self.shared_offsets
+        so3, so2, so1 = (so, so, so) if isinstance(so, bool) else tuple(so)
         self.feature_encoder = SameChannelResEncoder(
             nf, self.enc_res_blocks, dtype=self.dtype
         )
@@ -75,19 +78,19 @@ class DATwConstantnC(nn.Module):
         self.dat_lv3 = CrossDeformableAttentionBlock(
             nf, nf, n_samples=8, n_groups=4, n_heads=4,
             offset_scale=2.0, mlp_ratio=self.mlp_ratio,
-            window_sampling=ws, shared_offsets=so, dtype=self.dtype,
+            window_sampling=ws, shared_offsets=so3, dtype=self.dtype,
         )
         self.lv3_to_lv2 = conv_transpose_x2(nf, dtype=self.dtype)
         self.dat_lv2 = CrossDeformableAttentionBlock(
             nf, nf, n_samples=16, n_groups=8, n_heads=8,
             offset_scale=4.0, mlp_ratio=self.mlp_ratio,
-            window_sampling=ws, shared_offsets=so, dtype=self.dtype,
+            window_sampling=ws, shared_offsets=so2, dtype=self.dtype,
         )
         self.lv2_to_lv1 = conv_transpose_x2(nf, dtype=self.dtype)
         self.dat_lv1 = CrossDeformableAttentionBlock(
             nf, nf, n_samples=32, n_groups=8, n_heads=8,
             offset_scale=8.0, mlp_ratio=self.mlp_ratio,
-            pred_res_flow=False, window_sampling=ws, shared_offsets=so,
+            pred_res_flow=False, window_sampling=ws, shared_offsets=so1,
             dtype=self.dtype,
         )
         self.pixel_generator = BasicResPixelShuffleGenerator(
