@@ -63,14 +63,24 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--hd", action="store_true")
     ap.add_argument("--batch4", action="store_true")
+    ap.add_argument("--levels", default=None,
+                    help="comma list of DAT levels with shared offsets "
+                         "(e.g. '2,1' = share lv2+lv1, keep per-group "
+                         "offsets at lv3); default: share all levels")
     args = ap.parse_args()
 
+    if args.levels:
+        lv = {int(x) for x in args.levels.split(",")}
+        shared = tuple(l in lv for l in (3, 2, 1))
+    else:
+        shared = True
+
     shapes = [("448x256", 256, 448)]
-    bench(shapes, [1], [True])
+    bench(shapes, [1], [shared])
     if args.batch4:
-        bench(shapes, [4], [True])
+        bench(shapes, [4], [shared])
     if args.hd:
-        bench([("1280x720", 720, 1280)], [1], [True])
+        bench([("1280x720", 720, 1280)], [1], [shared])
 
 
 if __name__ == "__main__":
