@@ -89,7 +89,8 @@ def main():
         shared_tag = "_shared" if args.shared else ""
     tag = (args.model + ("_dilated" if args.dilated else "")
            + ("_goff" if args.goff else "")
-           + shared_tag)
+           + shared_tag
+           + (f"_seed{args.seed}" if args.seed != 42 else ""))
     out_path = out_dir / f"{tag}.jsonl"
 
     OFFSET_SETS = ((-2, -1, 0, 1, 2), (-4, -2, -1, 0, 1, 2, 4),
