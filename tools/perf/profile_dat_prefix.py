@@ -2,7 +2,12 @@
 
 --shared profiles the shared-offset fast variant (configs/DAT_fast.yaml).
 """
-import argparse, time, numpy as np, jax, jax.numpy as jnp
+import argparse, time, sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np, jax, jax.numpy as jnp
 from videoframeinterpolation_tpu.models.dat import DATwConstantnC
 
 _ap = argparse.ArgumentParser()
