@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from bench import time_loop
 
 
-def bench(shapes, batch_sizes, shared_vals):
+def bench(shapes, batch_sizes, shared_vals, samples=(8, 16, 32)):
     from videoframeinterpolation_tpu.config import Config
     from videoframeinterpolation_tpu.models import create_model
 
@@ -40,7 +40,8 @@ def bench(shapes, batch_sizes, shared_vals):
             t = jnp.full((B, 1, 1, 1), 0.5, jnp.float32)
             for so in shared_vals:
                 cfg = Config(model_name="DATwConstantnCv1",
-                             compute_dtype="bfloat16", shared_offsets=so)
+                             compute_dtype="bfloat16", shared_offsets=so,
+                             dat_samples=samples)
                 model = create_model(cfg)
                 params = model.init(jax.random.key(0), x0[:1, :32, :32],
                                     x1[:1, :32, :32], t[:1])
@@ -51,11 +52,13 @@ def bench(shapes, batch_sizes, shared_vals):
                 try:
                     sec = time_loop(fwd, (params, x0, x1, t), n_hi=9)
                     ms = sec * 1e3
-                    print(f"DAT {name} b{B} shared_offsets={so}: "
+                    print(f"DAT {name} b{B} shared_offsets={so} "
+                          f"samples={samples}: "
                           f"{ms:8.3f} ms/batch = {ms/B:7.3f} ms/frame",
                           flush=True)
                 except Exception as e:
-                    print(f"DAT {name} b{B} shared_offsets={so}: FAILED "
+                    print(f"DAT {name} b{B} shared_offsets={so} "
+                          f"samples={samples}: FAILED "
                           f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 
@@ -67,6 +70,9 @@ def main():
                     help="comma list of DAT levels with shared offsets "
                          "(e.g. '2,1' = share lv2+lv1, keep per-group "
                          "offsets at lv3); default: share all levels")
+    ap.add_argument("--samples", default=None,
+                    help="per-level sample counts 'lv3,lv2,lv1' "
+                         "(default 8,16,32)")
     args = ap.parse_args()
 
     if args.levels:
@@ -74,13 +80,15 @@ def main():
         shared = tuple(l in lv for l in (3, 2, 1))
     else:
         shared = True
+    samples = (tuple(int(x) for x in args.samples.split(","))
+               if args.samples else (8, 16, 32))
 
     shapes = [("448x256", 256, 448)]
-    bench(shapes, [1], [shared])
+    bench(shapes, [1], [shared], samples)
     if args.batch4:
-        bench(shapes, [4], [shared])
+        bench(shapes, [4], [shared], samples)
     if args.hd:
-        bench([("1280x720", 720, 1280)], [1], [shared])
+        bench([("1280x720", 720, 1280)], [1], [shared], samples)
 
 
 if __name__ == "__main__":

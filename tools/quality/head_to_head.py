@@ -62,6 +62,10 @@ def main():
     ap.add_argument("--shared", action="store_true",
                     help="flagship shared-offset variant (one offset set "
                          "per DAT level, 8x fewer sampler gather rows)")
+    ap.add_argument("--samples", default=None,
+                    help="flagship per-level sample counts 'lv3,lv2,lv1' "
+                         "(default 8,16,32 = reference parity); e.g. "
+                         "'8,16,16' halves the hot lv1 sampler's rows")
     ap.add_argument("--shared_levels", default=None,
                     help="comma list of DAT levels with shared offsets, "
                          "e.g. '2,1' shares lv2+lv1 and keeps per-group "
@@ -87,9 +91,12 @@ def main():
     else:
         shared = bool(args.shared)
         shared_tag = "_shared" if args.shared else ""
+    samples = (tuple(int(x) for x in args.samples.split(","))
+               if args.samples else (8, 16, 32))
     tag = (args.model + ("_dilated" if args.dilated else "")
            + ("_goff" if args.goff else "")
            + shared_tag
+           + ("_s" + "-".join(map(str, samples)) if args.samples else "")
            + (f"_seed{args.seed}" if args.seed != 42 else ""))
     out_path = out_dir / f"{tag}.jsonl"
 
@@ -104,6 +111,7 @@ def main():
         offset_sets=OFFSET_SETS if args.dilated else None,
         n_offset_groups=(4, 8, 8) if args.goff else (0, 0, 0),
         shared_offsets=shared,
+        dat_samples=samples,
     )
     model = create_model(cfg)
     mesh = create_mesh()
@@ -129,7 +137,7 @@ def main():
                       compute_dtype="float32",
                       offset_sets=OFFSET_SETS if args.dilated else None,
                       n_offset_groups=(4, 8, 8) if args.goff else (0, 0, 0),
-                      shared_offsets=shared)
+                      shared_offsets=shared, dat_samples=samples)
     eval_model = create_model(eval_cfg)
     infer = jax.jit(lambda p, a, b, t: eval_model.apply(p, a, b, t))
     vx0, vx1, vt = (jnp.asarray(val[k]) for k in ("x0", "x1", "t"))

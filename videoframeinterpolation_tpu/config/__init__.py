@@ -49,6 +49,10 @@ class Config:
     # shares every level; a (lv3, lv2, lv1) triple selects per level.
     # Trains from scratch; quality head-to-head in BENCH_NOTES.md.
     shared_offsets: Union[bool, Sequence[bool]] = False
+    # Flagship deformable samples per DAT level (lv3, lv2, lv1). The
+    # reference hardcodes (8, 16, 32); fewer lv1 samples cut the hot
+    # sampler's gather rows linearly (quality study in BENCH_NOTES.md).
+    dat_samples: Sequence[int] = (8, 16, 32)
 
     # Data
     data_name: str = "Vimeo90KwFlow"

@@ -44,6 +44,7 @@ MODEL_REGISTRY: dict[str, Any] = {
         shared_offsets=(tuple(c.shared_offsets)
                         if isinstance(c.shared_offsets, (list, tuple))
                         else c.shared_offsets),
+        n_samples=tuple(c.dat_samples),
         dtype=_dt(c)),
     # archive families (reference models/archive/)
     "IFRNet": lambda c: IFRNet(dtype=_dt(c)),

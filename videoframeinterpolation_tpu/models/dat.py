@@ -63,6 +63,12 @@ class DATwConstantnC(nn.Module):
     # pyramid — is unchanged. True shares every level; a (lv3, lv2, lv1)
     # triple selects per level (quality study in BENCH_NOTES.md).
     shared_offsets: bool | tuple = False
+    # Deformable samples per level (lv3, lv2, lv1). The reference hardcodes
+    # (8, 16, 32) (models/DAT.py:24-26); sampler gather rows scale linearly
+    # with the lv1 count, so (8, 16, 16) halves the hot level's rows —
+    # quality study in BENCH_NOTES.md. Non-default counts train from
+    # scratch (offset-conv + attention K/V widths change).
+    n_samples: tuple = (8, 16, 32)
     dtype: Any = None
 
     def setup(self):
@@ -70,25 +76,26 @@ class DATwConstantnC(nn.Module):
         ws = self.window_sampling
         so = self.shared_offsets
         so3, so2, so1 = (so, so, so) if isinstance(so, bool) else tuple(so)
+        ns3, ns2, ns1 = self.n_samples
         self.feature_encoder = SameChannelResEncoder(
             nf, self.enc_res_blocks, dtype=self.dtype
         )
         self.coarse_query_builder = DCNInterFeatBuilderWithT(nf, dtype=self.dtype)
         self.lv4_to_lv3 = conv_transpose_x2(nf + 4, dtype=self.dtype)
         self.dat_lv3 = CrossDeformableAttentionBlock(
-            nf, nf, n_samples=8, n_groups=4, n_heads=4,
+            nf, nf, n_samples=ns3, n_groups=4, n_heads=4,
             offset_scale=2.0, mlp_ratio=self.mlp_ratio,
             window_sampling=ws, shared_offsets=so3, dtype=self.dtype,
         )
         self.lv3_to_lv2 = conv_transpose_x2(nf, dtype=self.dtype)
         self.dat_lv2 = CrossDeformableAttentionBlock(
-            nf, nf, n_samples=16, n_groups=8, n_heads=8,
+            nf, nf, n_samples=ns2, n_groups=8, n_heads=8,
             offset_scale=4.0, mlp_ratio=self.mlp_ratio,
             window_sampling=ws, shared_offsets=so2, dtype=self.dtype,
         )
         self.lv2_to_lv1 = conv_transpose_x2(nf, dtype=self.dtype)
         self.dat_lv1 = CrossDeformableAttentionBlock(
-            nf, nf, n_samples=32, n_groups=8, n_heads=8,
+            nf, nf, n_samples=ns1, n_groups=8, n_heads=8,
             offset_scale=8.0, mlp_ratio=self.mlp_ratio,
             pred_res_flow=False, window_sampling=ws, shared_offsets=so1,
             dtype=self.dtype,
