@@ -17,11 +17,11 @@ the active DATwConstantnCv1 itself has no published latency).
 than the reference).
 
 Headline model: ``configs/DAT_fast.yaml`` — the flagship DAT architecture
-with shared sampling offsets at the gather-dominated levels. The round-2
-head-to-head study (BENCH_NOTES.md) trains it and the exact reference
-architecture from scratch on byte-identical data and shows near-parity
-held-out PSNR; the exact-parity model's latency (152 ms) is documented in
-BENCH_NOTES.md alongside.
+with shared sampling offsets and 16 finest-level samples (the two
+gather-row levers). The head-to-head studies (BENCH_NOTES.md) train it
+and the exact reference architecture from scratch on byte-identical data
+and show near-parity held-out PSNR; the exact-parity model's latency
+(152 ms) is documented in BENCH_NOTES.md alongside.
 """
 
 from __future__ import annotations
