@@ -12,11 +12,16 @@ from videoframeinterpolation_tpu.models.dat import DATwConstantnC
 
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--shared", action="store_true")
+_ap.add_argument("--samples", default=None,
+                 help="per-level sample counts 'lv3,lv2,lv1' (default 8,16,32)")
 _args = _ap.parse_args()
 
+_samples = (tuple(int(x) for x in _args.samples.split(","))
+            if _args.samples else (8, 16, 32))
 dt = "bfloat16"
 model = DATwConstantnC(nf=72, enc_res_blocks=5, dec_res_blocks=10, mlp_ratio=2.0,
-                       shared_offsets=_args.shared, dtype=jnp.bfloat16)
+                       shared_offsets=_args.shared, n_samples=_samples,
+                       dtype=jnp.bfloat16)
 H, W = 256, 448
 rng = np.random.default_rng(0)
 x0 = jnp.asarray(rng.uniform(0,1,(1,H,W,3)).astype(np.float32))
