@@ -25,6 +25,8 @@ import jax.numpy as jnp
 
 from bench import time_loop
 
+_STRIDE = 1  # lv1 query-grid stride (set by --attn_stride)
+
 
 def bench(shapes, batch_sizes, shared_vals, samples=(8, 16, 32)):
     from videoframeinterpolation_tpu.config import Config
@@ -41,7 +43,8 @@ def bench(shapes, batch_sizes, shared_vals, samples=(8, 16, 32)):
             for so in shared_vals:
                 cfg = Config(model_name="DATwConstantnCv1",
                              compute_dtype="bfloat16", shared_offsets=so,
-                             dat_samples=samples)
+                             dat_samples=samples,
+                             dat_attn_stride=(1, 1, _STRIDE))
                 model = create_model(cfg)
                 params = model.init(jax.random.key(0), x0[:1, :32, :32],
                                     x1[:1, :32, :32], t[:1])
@@ -73,7 +76,11 @@ def main():
     ap.add_argument("--samples", default=None,
                     help="per-level sample counts 'lv3,lv2,lv1' "
                          "(default 8,16,32)")
+    ap.add_argument("--attn_stride", type=int, default=1,
+                    help="lv1 query-grid stride (2 = strided lv1 block)")
     args = ap.parse_args()
+    global _STRIDE
+    _STRIDE = args.attn_stride
 
     if args.levels:
         lv = {int(x) for x in args.levels.split(",")}

@@ -70,6 +70,9 @@ def main():
                     help="comma list of DAT levels with shared offsets, "
                          "e.g. '2,1' shares lv2+lv1 and keeps per-group "
                          "offsets at lv3 (overrides --shared)")
+    ap.add_argument("--attn_stride", type=int, default=1,
+                    help="flagship lv1 query-grid stride (2 = quarter the "
+                         "finest level's queries, learned upsample back)")
     ap.add_argument("--out_dir", type=str,
                     default=str(Path(__file__).parent / "results"))
     args = ap.parse_args()
@@ -97,6 +100,7 @@ def main():
            + ("_goff" if args.goff else "")
            + shared_tag
            + ("_s" + "-".join(map(str, samples)) if args.samples else "")
+           + (f"_stride{args.attn_stride}" if args.attn_stride != 1 else "")
            + (f"_seed{args.seed}" if args.seed != 42 else ""))
     out_path = out_dir / f"{tag}.jsonl"
 
@@ -112,6 +116,7 @@ def main():
         n_offset_groups=(4, 8, 8) if args.goff else (0, 0, 0),
         shared_offsets=shared,
         dat_samples=samples,
+        dat_attn_stride=(1, 1, args.attn_stride),
     )
     model = create_model(cfg)
     mesh = create_mesh()
@@ -137,7 +142,8 @@ def main():
                       compute_dtype="float32",
                       offset_sets=OFFSET_SETS if args.dilated else None,
                       n_offset_groups=(4, 8, 8) if args.goff else (0, 0, 0),
-                      shared_offsets=shared, dat_samples=samples)
+                      shared_offsets=shared, dat_samples=samples,
+                      dat_attn_stride=(1, 1, args.attn_stride))
     eval_model = create_model(eval_cfg)
     infer = jax.jit(lambda p, a, b, t: eval_model.apply(p, a, b, t))
     vx0, vx1, vt = (jnp.asarray(val[k]) for k in ("x0", "x1", "t"))

@@ -53,6 +53,11 @@ class Config:
     # reference hardcodes (8, 16, 32); fewer lv1 samples cut the hot
     # sampler's gather rows linearly (quality study in BENCH_NOTES.md).
     dat_samples: Sequence[int] = (8, 16, 32)
+    # Flagship query-grid stride per DAT level (lv3, lv2, lv1). A strided
+    # level runs its whole block on an (H/s, W/s) query grid and returns
+    # through a learned upsample (+ zero-init detail conv): s**2 fewer
+    # gather rows and FLOPs at that level. Only lv1 may be strided.
+    dat_attn_stride: Sequence[int] = (1, 1, 1)
 
     # Data
     data_name: str = "Vimeo90KwFlow"

@@ -45,6 +45,7 @@ MODEL_REGISTRY: dict[str, Any] = {
                         if isinstance(c.shared_offsets, (list, tuple))
                         else c.shared_offsets),
         n_samples=tuple(c.dat_samples),
+        attn_strides=tuple(c.dat_attn_stride),
         dtype=_dt(c)),
     # archive families (reference models/archive/)
     "IFRNet": lambda c: IFRNet(dtype=_dt(c)),

@@ -69,6 +69,13 @@ class DATwConstantnC(nn.Module):
     # quality study in BENCH_NOTES.md. Non-default counts train from
     # scratch (offset-conv + attention K/V widths change).
     n_samples: tuple = (8, 16, 32)
+    # Query-grid stride per level (lv3, lv2, lv1). A strided level runs its
+    # whole DAT block on an (H/s, W/s) query grid (sampling the full-res
+    # source features) and returns through a learned upsample + zero-init
+    # detail conv — s**2 fewer gather rows AND convs/attention FLOPs at
+    # that level. Only supported where pred_res_flow=False (lv1). Trains
+    # from scratch; quality study in BENCH_NOTES.md.
+    attn_strides: tuple = (1, 1, 1)
     dtype: Any = None
 
     def setup(self):
@@ -77,6 +84,11 @@ class DATwConstantnC(nn.Module):
         so = self.shared_offsets
         so3, so2, so1 = (so, so, so) if isinstance(so, bool) else tuple(so)
         ns3, ns2, ns1 = self.n_samples
+        st3, st2, st1 = self.attn_strides
+        if st3 != 1 or st2 != 1:
+            raise ValueError(
+                "attn_strides: only the finest level (lv1) may be strided — "
+                "lv3/lv2 predict next-level flows (pred_res_flow)")
         self.feature_encoder = SameChannelResEncoder(
             nf, self.enc_res_blocks, dtype=self.dtype
         )
@@ -98,7 +110,7 @@ class DATwConstantnC(nn.Module):
             nf, nf, n_samples=ns1, n_groups=8, n_heads=8,
             offset_scale=8.0, mlp_ratio=self.mlp_ratio,
             pred_res_flow=False, window_sampling=ws, shared_offsets=so1,
-            dtype=self.dtype,
+            attn_stride=st1, dtype=self.dtype,
         )
         self.pixel_generator = BasicResPixelShuffleGenerator(
             nf, self.dec_res_blocks, dtype=self.dtype

@@ -81,41 +81,47 @@ class SampleAttention(nn.Module):
 
 
 def _grouped_deformable_sample(
-    feat: Array, ref_offsets: Array, n_groups: int
+    feat: Array, ref_offsets: Array, n_groups: int, stride: int = 1
 ) -> Array:
     """Sample grouped features at per-group deformable locations.
 
     Args:
       feat: ``(B, H, W, C)`` source-frame features; channels split into
         ``n_groups`` groups.
-      ref_offsets: ``(B, H, W, G, S, 2)`` pixel displacements ``(dx, dy)``
-        relative to each query pixel.
+      ref_offsets: ``(B, h, w, G, S, 2)`` pixel displacements ``(dx, dy)``
+        relative to each query position, with ``(h, w) = (H, W) // stride``.
+      stride: query-grid stride over the source map. With ``stride > 1``
+        queries sit at the *centers* of each ``stride x stride`` cell
+        (``j*stride + (stride-1)/2``) but still sample the full-resolution
+        feature map — gather rows drop by ``stride**2``.
 
     Returns:
-      ``(B, S, H*W, C)`` sampled key/value tensor (zeros out of bounds,
+      ``(B, S, h*w, C)`` sampled key/value tensor (zeros out of bounds,
       matching ``F.grid_sample`` defaults at ``modules/deformable_attn.py:99``).
     """
     B, H, W, C = feat.shape
     G = n_groups
+    h, w = ref_offsets.shape[1:3]
     S = ref_offsets.shape[4]
     Cg = C // G
 
+    half = (stride - 1) / 2.0
     gy, gx = jnp.meshgrid(
-        jnp.arange(H, dtype=jnp.float32),
-        jnp.arange(W, dtype=jnp.float32),
+        jnp.arange(h, dtype=jnp.float32) * stride + half,
+        jnp.arange(w, dtype=jnp.float32) * stride + half,
         indexing="ij",
     )
-    base = jnp.stack([gx, gy], axis=-1)  # (H, W, 2)
+    base = jnp.stack([gx, gy], axis=-1)  # (h, w, 2)
     coords = base[None, :, :, None, None, :] + ref_offsets.astype(jnp.float32)
 
     feat_g = feat.reshape(B, H, W, G, Cg).transpose(0, 3, 1, 2, 4).reshape(
         B * G, H, W, Cg
     )
-    coords_g = coords.transpose(0, 3, 4, 1, 2, 5).reshape(B * G, S, H, W, 2)
+    coords_g = coords.transpose(0, 3, 4, 1, 2, 5).reshape(B * G, S, h, w, 2)
     samples = grid_sample(feat_g, coords_g, padding_mode="zeros")
-    # (B*G, S, H, W, Cg) -> (B, S, H*W, G*Cg)
-    samples = samples.reshape(B, G, S, H, W, Cg).transpose(0, 2, 3, 4, 1, 5)
-    return samples.reshape(B, S, H * W, C)
+    # (B*G, S, h, w, Cg) -> (B, S, h*w, G*Cg)
+    samples = samples.reshape(B, G, S, h, w, Cg).transpose(0, 2, 3, 4, 1, 5)
+    return samples.reshape(B, S, h * w, C)
 
 
 class CrossDeformableAttentionBlock(nn.Module):
@@ -141,6 +147,14 @@ class CrossDeformableAttentionBlock(nn.Module):
     # the sampler gathers S rows per query instead of G*S. Attention heads
     # are unchanged. Quality measured head-to-head in BENCH_NOTES.md.
     shared_offsets: bool = False
+    # TPU-fast architecture variant #2 (trains from scratch): run the whole
+    # block (movement extractor, offsets, sampling, attention, MLP) on a
+    # stride x stride subsampled query grid — queries sit at cell centers
+    # and still sample the FULL-resolution source features — then return to
+    # full resolution through a learned transposed conv plus a zero-init
+    # 3x3 "detail" conv on the full-res query. Cuts every per-query cost
+    # (gather rows, convs, attention FLOPs) by stride**2 at the level.
+    attn_stride: int = 1
     dtype: Any = None
 
     def setup(self):
@@ -164,6 +178,21 @@ class CrossDeformableAttentionBlock(nn.Module):
             int(self.out_features * self.mlp_ratio), self.out_features,
             dtype=self.dtype,
         )
+        if self.attn_stride not in (1, 2):
+            raise ValueError(f"attn_stride must be 1 or 2, got {self.attn_stride}")
+        if self.attn_stride > 1:
+            if self.pred_res_flow:
+                raise ValueError("attn_stride > 1 requires pred_res_flow=False")
+            if self.window_sampling:
+                raise ValueError("attn_stride > 1 is incompatible with "
+                                 "window_sampling")
+            self.attn_upsample = conv_transpose_x2(
+                self.out_features, dtype=self.dtype
+            )
+            self.conv_detail = conv(
+                self.out_features, kernel_init=zero_init, bias_init=zero_init,
+                dtype=self.dtype, name="conv_detail",
+            )
 
     def _movement_feats(self, feat_t: Array, feat_x: Array, ftx: Array) -> Array:
         feat_t_from_x = bwarp(feat_x, ftx)
@@ -192,6 +221,9 @@ class CrossDeformableAttentionBlock(nn.Module):
         ft_b = jnp.concatenate([ft0, ft1], axis=0)
         feat_t_b = jnp.concatenate([feat_t, feat_t], axis=0)
 
+        if self.attn_stride > 1:
+            return self._strided_forward(feat_t, feat_t_b, feat_b, ft_b)
+
         mv_b = self._movement_feats(feat_t_b, feat_b, ft_b)
         res_b = self._res_offsets(mv_b)
         if self.window_sampling:
@@ -215,3 +247,38 @@ class CrossDeformableAttentionBlock(nn.Module):
         # 2x-magnified current flow (modules/deformable_attn.py:118-123).
         up_b = self.conv_res_flow(mv_b) + 2.0 * scale_resize(ft_b, 2.0)
         return out, up_b[:B], up_b[B:]
+
+    def _strided_forward(
+        self, feat_t: Array, feat_t_b: Array, feat_b: Array, ft_b: Array
+    ) -> Array:
+        """Query-strided block body (``attn_stride > 1``).
+
+        Everything per-query — movement convs, offset prediction, sampling,
+        attention, MLP — runs on the pooled ``(H/s, W/s)`` grid; only the
+        sampled source features stay at full resolution. Flow values stay in
+        the level's pixel units throughout (the pooled bwarp divides by the
+        stride because its target grid is coarse).
+        """
+        s = self.attn_stride
+        B = feat_t.shape[0]
+        pool = lambda a: nn.avg_pool(a, (s, s), strides=(s, s))
+
+        feat_b_c = pool(feat_b)
+        ft_b_c = pool(ft_b)
+        feat_t_b_c = pool(feat_t_b)
+
+        warped = bwarp(feat_b_c, ft_b_c / float(s))
+        h = jnp.concatenate([feat_t_b_c, warped, ft_b_c], axis=-1)
+        h = self.movement_conv1(h)
+        h = self.movement_conv2(h)
+        mv_b = self.movement_res(h)
+
+        off_b = self._res_offsets(mv_b) + ft_b_c[:, :, :, None, None, :]
+        kv_b = _grouped_deformable_sample(
+            feat_b, off_b, self.n_offset_sets, stride=s
+        )
+        attended = self.attn(
+            feat_t_b_c[:B], jnp.concatenate([kv_b[:B], kv_b[B:]], axis=1)
+        )
+        out_c = attended + self.mlp(attended)
+        return self.attn_upsample(out_c) + self.conv_detail(feat_t)
