@@ -1,12 +1,28 @@
-"""Intra-block profile of dat_lv1: movement / offsets / sampling / attention."""
-import time, numpy as np, jax, jax.numpy as jnp
+"""Intra-block profile of dat_lv1: movement / offsets / sampling / attention.
+
+--shared / --samples N profile the fast-flagship variant (configs/DAT_fast.yaml
+ships --shared --samples 4 at lv1).
+"""
+import argparse, sys, time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np, jax, jax.numpy as jnp
 from videoframeinterpolation_tpu.nn.deformable_attn import (
     CrossDeformableAttentionBlock, _grouped_deformable_sample)
 
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--shared", action="store_true")
+_ap.add_argument("--samples", type=int, default=32)
+_args = _ap.parse_args()
+
 dt = jnp.bfloat16
 H, W = 128, 224
-blk = CrossDeformableAttentionBlock(72, 72, n_samples=32, n_groups=8, n_heads=8,
+blk = CrossDeformableAttentionBlock(72, 72, n_samples=_args.samples,
+                                    n_groups=8, n_heads=8,
                                     offset_scale=8.0, mlp_ratio=2.0,
+                                    shared_offsets=_args.shared,
                                     pred_res_flow=False, dtype=dt)
 k = jax.random.key(0)
 ft = jax.random.normal(k, (1, H, W, 72), dt)
@@ -25,7 +41,7 @@ def stage_apply(params, feat_t, stage):
         off_b = m._ref_offsets(ft_b, mv_b)
         if stage == 1:
             return off_b
-        kv_b = _grouped_deformable_sample(feat_b, off_b, m.n_groups)
+        kv_b = _grouped_deformable_sample(feat_b, off_b, m.n_offset_sets)
         if stage == 2:
             return kv_b
         attended = m.attn(feat_t, jnp.concatenate([kv_b[:B], kv_b[B:]], axis=1))
