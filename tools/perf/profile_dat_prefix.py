@@ -14,6 +14,8 @@ _ap = argparse.ArgumentParser()
 _ap.add_argument("--shared", action="store_true")
 _ap.add_argument("--samples", default=None,
                  help="per-level sample counts 'lv3,lv2,lv1' (default 8,16,32)")
+_ap.add_argument("--size", default="256x448",
+                 help="input HxW (e.g. 720x1280 for full-frame HD)")
 _args = _ap.parse_args()
 
 _samples = (tuple(int(x) for x in _args.samples.split(","))
@@ -22,7 +24,7 @@ dt = "bfloat16"
 model = DATwConstantnC(nf=72, enc_res_blocks=5, dec_res_blocks=10, mlp_ratio=2.0,
                        shared_offsets=_args.shared, n_samples=_samples,
                        dtype=jnp.bfloat16)
-H, W = 256, 448
+H, W = (int(v) for v in _args.size.split("x"))
 rng = np.random.default_rng(0)
 x0 = jnp.asarray(rng.uniform(0,1,(1,H,W,3)).astype(np.float32))
 x1 = jnp.asarray(rng.uniform(0,1,(1,H,W,3)).astype(np.float32))
