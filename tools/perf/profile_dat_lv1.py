@@ -15,10 +15,12 @@ from videoframeinterpolation_tpu.nn.deformable_attn import (
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--shared", action="store_true")
 _ap.add_argument("--samples", type=int, default=32)
+_ap.add_argument("--size", default="128x224",
+                 help="lv1 feature HxW (720p full-frame lv1 = 360x640)")
 _args = _ap.parse_args()
 
 dt = jnp.bfloat16
-H, W = 128, 224
+H, W = (int(v) for v in _args.size.split("x"))
 blk = CrossDeformableAttentionBlock(72, 72, n_samples=_args.samples,
                                     n_groups=8, n_heads=8,
                                     offset_scale=8.0, mlp_ratio=2.0,
