@@ -33,10 +33,17 @@ ap.add_argument("--width", type=int, default=1280)
 ap.add_argument("--reps", type=int, default=3)
 ap.add_argument("--window_sampling", action="store_true",
                 help="flagship exact-parity windowed sampling fast path")
+ap.add_argument("--shared", action="store_true",
+                help="shared-offset fast flagship (configs/DAT_fast.yaml)")
+ap.add_argument("--samples", default=None,
+                help="per-level sample counts 'lv3,lv2,lv1' (e.g. 8,8,2)")
 args = ap.parse_args()
 
+samples = (tuple(int(x) for x in args.samples.split(","))
+           if args.samples else (8, 16, 32))
 cfg = Config(model_name=args.model, compute_dtype="bfloat16",
-             window_sampling=args.window_sampling)
+             window_sampling=args.window_sampling,
+             shared_offsets=args.shared, dat_samples=list(samples))
 model = create_model(cfg)
 rng = np.random.default_rng(0)
 H, W = args.height, args.width
@@ -66,6 +73,8 @@ for _i in range(args.reps):
     times.append(time.perf_counter() - t0)
 best = min(times)
 tag = " window" if args.window_sampling else ""
+if args.shared:
+    tag += f" shared{samples}"
 print(f"{args.model}{tag} {args.mode} {H}x{W}: {best*1e3:.1f} ms/pair "
       f"= {1.0/best:.2f} pairs/s/chip (reps: "
       + ", ".join(f"{x*1e3:.0f}" for x in times) + ")")
