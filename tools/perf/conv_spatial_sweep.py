@@ -30,6 +30,12 @@ ap.add_argument("--nf", type=int, default=72)
 ap.add_argument("--depth", type=int, default=8)
 ap.add_argument("--prelu", action="store_true",
                 help="interleave PReLU (the generator's activation)")
+ap.add_argument("--prelu_impl", default="where",
+                choices=["where", "minmax", "relu2", "abs"],
+                help="PReLU formulation: where = jnp.where(x>=0,x,a*x); "
+                     "minmax = max(x,0)+a*min(x,0); "
+                     "relu2 = relu(x)-a*relu(-x); "
+                     "abs = 0.5*((1+a)*x + (1-a)*|x|)")
 ap.add_argument("--batch", type=int, default=2,
                 help="2 = both frames through shared weights, the model's "
                      "hot-path batch")
@@ -50,7 +56,14 @@ def chain(ws, x):
             x, w, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if args.prelu:
-            x = jnp.where(x >= 0, x, alpha * x)
+            if args.prelu_impl == "where":
+                x = jnp.where(x >= 0, x, alpha * x)
+            elif args.prelu_impl == "minmax":
+                x = jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
+            elif args.prelu_impl == "relu2":
+                x = jnp.maximum(x, 0) - alpha * jnp.maximum(-x, 0)
+            else:  # abs
+                x = 0.5 * ((1 + alpha) * x + (1 - alpha) * jnp.abs(x))
         else:
             x = jnp.maximum(x, 0)
     return x
