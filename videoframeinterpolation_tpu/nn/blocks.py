@@ -39,7 +39,14 @@ class PReLU(nn.Module):
             lambda key: jnp.full((self.features,), self.init_value, jnp.float32),
         )
         alpha = alpha.astype(x.dtype)
-        return jnp.where(x >= 0, x, alpha * x)
+        # max+a*min instead of where(x>=0, x, a*x): identical values for
+        # every finite x, but the select lowers ~2.3x slower than the conv
+        # it follows on this stack while max/min/mul fuse to conv speed
+        # (measured: tools/perf/conv_spatial_sweep.py — 52.5 vs 22.6 ms
+        # for 8 convs at 720p). Gradient differs only at exactly x == 0
+        # (1+a here vs 1 for the select; torch's PReLU says a), a
+        # measure-zero tie every formulation already breaks differently.
+        return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
 
 
 def conv(
