@@ -40,6 +40,10 @@ ap.add_argument("--barrier", action="store_true",
                 help="materialize the pixel-shuffled tensor "
                      "(optimization_barrier) instead of letting XLA fuse "
                      "the transpose into every full-res consumer")
+ap.add_argument("--deconv", action="store_true",
+                help="replace upconv+shuffle with the mathematically "
+                     "equivalent stride-2 6x6 transposed conv (subpixel-"
+                     "conv identity) — no transpose, native XLA lowering")
 args = ap.parse_args()
 
 H, W = (int(v) for v in args.size.split("x"))
@@ -68,14 +72,20 @@ class GenPrefix(nn.Module):
         h = ResBlocks(nf, args.nres, dtype=dt, name="reconstruction")(feat)
         if self.stage == 0:
             return h
-        h = conv(nf * 4, dtype=dt, name="upconv1")(h)
-        if self.stage == 1:
-            return h
-        h = pixel_shuffle(h, 2)
-        if args.barrier:
-            h = jax.lax.optimization_barrier(h)
-        if self.stage == 2:
-            return h
+        if args.deconv:
+            h = nn.ConvTranspose(nf, (6, 6), strides=(2, 2), padding="SAME",
+                                 dtype=dt, name="upconv1_t")(h)
+            if self.stage in (1, 2):
+                return h
+        else:
+            h = conv(nf * 4, dtype=dt, name="upconv1")(h)
+            if self.stage == 1:
+                return h
+            h = pixel_shuffle(h, 2)
+            if args.barrier:
+                h = jax.lax.optimization_barrier(h)
+            if self.stage == 2:
+                return h
         h = PReLU(nf, name="prelu1")(h)
         if self.stage == 3:
             return h
