@@ -68,3 +68,21 @@ def test_graft_entry_contract():
     small = (params, x0[:, :64, :64], x1[:, :64, :64], t)
     out = jax.jit(fn)(*small)
     assert out.shape == (1, 64, 64, 3)
+
+
+def test_prelu_matches_select_formulation():
+    """PReLU ships as max(x,0)+a*min(x,0) for fusion speed
+    (tools/perf/conv_spatial_sweep.py); values must equal the canonical
+    where(x>=0, x, a*x) for every finite input, incl. +-0 and bf16."""
+    import jax.numpy as jnp
+    from videoframeinterpolation_tpu.nn.blocks import PReLU
+
+    for dt in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(
+            [-3.0, -1.5, -1e-3, -0.0, 0.0, 1e-3, 0.5, 7.0], dt)
+        mod = PReLU(features=8, init_value=0.37)
+        params = mod.init(jax.random.key(0), x)
+        got = mod.apply(params, x)
+        alpha = params["params"]["alpha"].astype(dt)
+        want = jnp.where(x >= 0, x, alpha * x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
