@@ -73,6 +73,9 @@ def main():
     ap.add_argument("--attn_stride", type=int, default=1,
                     help="flagship lv1 query-grid stride (2 = quarter the "
                          "finest level's queries, learned upsample back)")
+    ap.add_argument("--movement_nf", default=None,
+                    help="flagship movement-extractor width per level "
+                         "'lv3,lv2,lv1' (default: nf at every level)")
     ap.add_argument("--out_dir", type=str,
                     default=str(Path(__file__).parent / "results"))
     args = ap.parse_args()
@@ -96,11 +99,14 @@ def main():
         shared_tag = "_shared" if args.shared else ""
     samples = (tuple(int(x) for x in args.samples.split(","))
                if args.samples else (8, 16, 32))
+    movement_nf = (tuple(int(x) for x in args.movement_nf.split(","))
+                   if args.movement_nf else None)
     tag = (args.model + ("_dilated" if args.dilated else "")
            + ("_goff" if args.goff else "")
            + shared_tag
            + ("_s" + "-".join(map(str, samples)) if args.samples else "")
            + (f"_stride{args.attn_stride}" if args.attn_stride != 1 else "")
+           + ("_mv" + "-".join(map(str, movement_nf)) if movement_nf else "")
            + (f"_seed{args.seed}" if args.seed != 42 else ""))
     out_path = out_dir / f"{tag}.jsonl"
 
@@ -117,6 +123,7 @@ def main():
         shared_offsets=shared,
         dat_samples=samples,
         dat_attn_stride=(1, 1, args.attn_stride),
+        dat_movement_nf=movement_nf,
     )
     model = create_model(cfg)
     mesh = create_mesh()

@@ -58,6 +58,10 @@ class Config:
     # through a learned upsample (+ zero-init detail conv): s**2 fewer
     # gather rows and FLOPs at that level. Only lv1 may be strided.
     dat_attn_stride: Sequence[int] = (1, 1, 1)
+    # Flagship movement-extractor width per DAT level (lv3, lv2, lv1);
+    # None = reference parity (nf at every level). The movement convs are
+    # the largest lv1 cost slice after the sample ladder.
+    dat_movement_nf: Optional[Sequence[int]] = None
 
     # Data
     data_name: str = "Vimeo90KwFlow"

@@ -46,6 +46,8 @@ MODEL_REGISTRY: dict[str, Any] = {
                         else c.shared_offsets),
         n_samples=tuple(c.dat_samples),
         attn_strides=tuple(c.dat_attn_stride),
+        movement_nf=(tuple(c.dat_movement_nf)
+                     if c.dat_movement_nf else None),
         dtype=_dt(c)),
     # archive families (reference models/archive/)
     "IFRNet": lambda c: IFRNet(dtype=_dt(c)),

@@ -76,6 +76,11 @@ class DATwConstantnC(nn.Module):
     # that level. Only supported where pred_res_flow=False (lv1). Trains
     # from scratch; quality study in BENCH_NOTES.md.
     attn_strides: tuple = (1, 1, 1)
+    # Movement-extractor width per level (lv3, lv2, lv1); None = reference
+    # parity (= nf per level). The movement convs are the largest lv1 cost
+    # slice after the sample ladder (tools/perf/README.md); thinning them
+    # trains from scratch — quality study in BENCH_NOTES.md.
+    movement_nf: tuple | None = None
     dtype: Any = None
 
     def setup(self):
@@ -85,6 +90,7 @@ class DATwConstantnC(nn.Module):
         so3, so2, so1 = (so, so, so) if isinstance(so, bool) else tuple(so)
         ns3, ns2, ns1 = self.n_samples
         st3, st2, st1 = self.attn_strides
+        mv3, mv2, mv1 = self.movement_nf or (None, None, None)
         if st3 != 1 or st2 != 1:
             raise ValueError(
                 "attn_strides: only the finest level (lv1) may be strided — "
@@ -97,20 +103,22 @@ class DATwConstantnC(nn.Module):
         self.dat_lv3 = CrossDeformableAttentionBlock(
             nf, nf, n_samples=ns3, n_groups=4, n_heads=4,
             offset_scale=2.0, mlp_ratio=self.mlp_ratio,
-            window_sampling=ws, shared_offsets=so3, dtype=self.dtype,
+            window_sampling=ws, shared_offsets=so3, movement_nf=mv3,
+            dtype=self.dtype,
         )
         self.lv3_to_lv2 = conv_transpose_x2(nf, dtype=self.dtype)
         self.dat_lv2 = CrossDeformableAttentionBlock(
             nf, nf, n_samples=ns2, n_groups=8, n_heads=8,
             offset_scale=4.0, mlp_ratio=self.mlp_ratio,
-            window_sampling=ws, shared_offsets=so2, dtype=self.dtype,
+            window_sampling=ws, shared_offsets=so2, movement_nf=mv2,
+            dtype=self.dtype,
         )
         self.lv2_to_lv1 = conv_transpose_x2(nf, dtype=self.dtype)
         self.dat_lv1 = CrossDeformableAttentionBlock(
             nf, nf, n_samples=ns1, n_groups=8, n_heads=8,
             offset_scale=8.0, mlp_ratio=self.mlp_ratio,
             pred_res_flow=False, window_sampling=ws, shared_offsets=so1,
-            attn_stride=st1, dtype=self.dtype,
+            attn_stride=st1, movement_nf=mv1, dtype=self.dtype,
         )
         self.pixel_generator = BasicResPixelShuffleGenerator(
             nf, self.dec_res_blocks, dtype=self.dtype

@@ -155,13 +155,22 @@ class CrossDeformableAttentionBlock(nn.Module):
     # 3x3 "detail" conv on the full-res query. Cuts every per-query cost
     # (gather rows, convs, attention FLOPs) by stride**2 at the level.
     attn_stride: int = 1
+    # TPU-fast architecture variant #3 (trains from scratch): width of the
+    # movement-feature extractor (conv1 doubles it, reference parity is
+    # ``features``). The movement convs are pure per-query compute — after
+    # the sample-count ladder they are the largest lv1 cost slice
+    # (tools/perf/README.md) — and the offset/flow heads read whatever
+    # width comes out, so thinning is a local change. Quality study in
+    # BENCH_NOTES.md.
+    movement_nf: int | None = None
     dtype: Any = None
 
     def setup(self):
         c = self.features
-        self.movement_conv1 = ConvPReLU(c * 2, dtype=self.dtype)
-        self.movement_conv2 = ConvPReLU(c, dtype=self.dtype)
-        self.movement_res = HalfChannelConv5ResBlock(c, c // 2, dtype=self.dtype)
+        mc = self.movement_nf or c
+        self.movement_conv1 = ConvPReLU(mc * 2, dtype=self.dtype)
+        self.movement_conv2 = ConvPReLU(mc, dtype=self.dtype)
+        self.movement_res = HalfChannelConv5ResBlock(mc, mc // 2, dtype=self.dtype)
         self.n_offset_sets = 1 if self.shared_offsets else self.n_groups
         self.conv_res_offset = conv(
             self.n_offset_sets * self.n_samples * 2,
