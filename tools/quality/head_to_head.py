@@ -150,7 +150,8 @@ def main():
                       offset_sets=OFFSET_SETS if args.dilated else None,
                       n_offset_groups=(4, 8, 8) if args.goff else (0, 0, 0),
                       shared_offsets=shared, dat_samples=samples,
-                      dat_attn_stride=(1, 1, args.attn_stride))
+                      dat_attn_stride=(1, 1, args.attn_stride),
+                      dat_movement_nf=movement_nf)
     eval_model = create_model(eval_cfg)
     infer = jax.jit(lambda p, a, b, t: eval_model.apply(p, a, b, t))
     vx0, vx1, vt = (jnp.asarray(val[k]) for k in ("x0", "x1", "t"))
