@@ -28,7 +28,8 @@ from bench import time_loop
 _STRIDE = 1  # lv1 query-grid stride (set by --attn_stride)
 
 
-def bench(shapes, batch_sizes, shared_vals, samples=(8, 16, 32)):
+def bench(shapes, batch_sizes, shared_vals, samples=(8, 16, 32),
+          movement_nf=None):
     from videoframeinterpolation_tpu.config import Config
     from videoframeinterpolation_tpu.models import create_model
 
@@ -44,7 +45,8 @@ def bench(shapes, batch_sizes, shared_vals, samples=(8, 16, 32)):
                 cfg = Config(model_name="DATwConstantnCv1",
                              compute_dtype="bfloat16", shared_offsets=so,
                              dat_samples=samples,
-                             dat_attn_stride=(1, 1, _STRIDE))
+                             dat_attn_stride=(1, 1, _STRIDE),
+                             dat_movement_nf=movement_nf)
                 model = create_model(cfg)
                 params = model.init(jax.random.key(0), x0[:1, :32, :32],
                                     x1[:1, :32, :32], t[:1])
@@ -78,6 +80,8 @@ def main():
                          "(default 8,16,32)")
     ap.add_argument("--attn_stride", type=int, default=1,
                     help="lv1 query-grid stride (2 = strided lv1 block)")
+    ap.add_argument("--movement_nf", default=None,
+                    help="movement-extractor width per level 'lv3,lv2,lv1'")
     args = ap.parse_args()
     global _STRIDE
     _STRIDE = args.attn_stride
@@ -89,13 +93,15 @@ def main():
         shared = True
     samples = (tuple(int(x) for x in args.samples.split(","))
                if args.samples else (8, 16, 32))
+    mv = (tuple(int(x) for x in args.movement_nf.split(","))
+          if args.movement_nf else None)
 
     shapes = [("448x256", 256, 448)]
-    bench(shapes, [1], [shared], samples)
+    bench(shapes, [1], [shared], samples, mv)
     if args.batch4:
-        bench(shapes, [4], [shared], samples)
+        bench(shapes, [4], [shared], samples, mv)
     if args.hd:
-        bench([("1280x720", 720, 1280)], [1], [shared], samples)
+        bench([("1280x720", 720, 1280)], [1], [shared], samples, mv)
 
 
 if __name__ == "__main__":
