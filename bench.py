@@ -17,8 +17,8 @@ the active DATwConstantnCv1 itself has no published latency).
 than the reference).
 
 Headline model: ``configs/DAT_fast.yaml`` — the flagship DAT architecture
-with shared sampling offsets and per-level sample counts [8, 8, 4] (the
-two gather-row levers). The head-to-head studies (BENCH_NOTES.md) train it
+with shared sampling offsets and the per-level sample counts shipped in
+that YAML (the two gather-row levers; see BENCH_NOTES.md for the ladder). The head-to-head studies (BENCH_NOTES.md) train it
 and the exact reference architecture from scratch on byte-identical data
 and show near-parity held-out PSNR; the exact-parity model's latency
 (152 ms) is documented in BENCH_NOTES.md alongside.

@@ -44,8 +44,9 @@ class PReLU(nn.Module):
         # it follows on this stack while max/min/mul fuse to conv speed
         # (measured: tools/perf/conv_spatial_sweep.py — 52.5 vs 22.6 ms
         # for 8 convs at 720p). Gradient differs only at exactly x == 0
-        # (1+a here vs 1 for the select; torch's PReLU says a), a
-        # measure-zero tie every formulation already breaks differently.
+        # (JAX's max/min tie-splitting gives (1+a)/2 here vs 1 for the
+        # select; torch's PReLU says a) — a measure-zero tie every
+        # formulation already breaks differently.
         return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
 
 

@@ -269,7 +269,13 @@ class CrossDeformableAttentionBlock(nn.Module):
         stride because its target grid is coarse).
         """
         s = self.attn_stride
-        B = feat_t.shape[0]
+        B, H, W = feat_t.shape[:3]
+        if H % s or W % s:
+            raise ValueError(
+                f"attn_stride={s} requires level dims divisible by it; got "
+                f"{H}x{W} (avg_pool would floor odd dims and the detail-conv "
+                "residual add would fail with a shape error)"
+            )
         pool = lambda a: nn.avg_pool(a, (s, s), strides=(s, s))
 
         feat_b_c = pool(feat_b)
