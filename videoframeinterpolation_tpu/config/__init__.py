@@ -62,6 +62,14 @@ class Config:
     # None = reference parity (nf at every level). The movement convs are
     # the largest lv1 cost slice after the sample ladder.
     dat_movement_nf: Optional[Sequence[int]] = None
+    # Reference-exact sampling units for the DAT sampler: the reference
+    # normalizes x-displacements by (W-1)*2 instead of (W-1)/2 when
+    # sampling (modules/deformable_attn.py:94-95), so its effective x
+    # offsets are value/4 pixels. Off (default) = symmetric pixel units
+    # (REBUILD_NOTES.md); on = emulate the quirk so reference-trained
+    # checkpoints imported via interop.torch_weights compute the identical
+    # function (tests/test_reference_parity.py).
+    dat_ref_offset_units: bool = False
 
     # Data
     data_name: str = "Vimeo90KwFlow"

@@ -1,0 +1,26 @@
+"""Interop with the upstream PyTorch reference framework.
+
+Two pieces:
+
+* :mod:`.torch_weights` — pure-numpy converters from reference
+  ``state_dict`` layouts to this framework's flax parameter trees, so
+  reference-trained checkpoints can be evaluated here (the ±0.05 dB
+  PSNR-parity north star, BASELINE.md).
+* :mod:`.reference_loader` — loads modules of the reference repository
+  itself (PyTorch, CPU) as numerical oracles for parity tests, stubbing
+  its CUDA-only dependencies (cupy, timm).
+"""
+
+from .torch_weights import (
+    conv_kernel,
+    conv_transpose_kernel,
+    ifrnet_params_from_state_dict,
+    dat_params_from_state_dict,
+)
+
+__all__ = [
+    "conv_kernel",
+    "conv_transpose_kernel",
+    "ifrnet_params_from_state_dict",
+    "dat_params_from_state_dict",
+]

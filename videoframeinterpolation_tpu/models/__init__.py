@@ -48,6 +48,7 @@ MODEL_REGISTRY: dict[str, Any] = {
         attn_strides=tuple(c.dat_attn_stride),
         movement_nf=(tuple(c.dat_movement_nf)
                      if c.dat_movement_nf else None),
+        ref_offset_units=c.dat_ref_offset_units,
         dtype=_dt(c)),
     # archive families (reference models/archive/)
     "IFRNet": lambda c: IFRNet(dtype=_dt(c)),

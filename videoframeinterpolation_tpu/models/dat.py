@@ -81,6 +81,10 @@ class DATwConstantnC(nn.Module):
     # slice after the sample ladder (tools/perf/README.md); thinning them
     # trains from scratch — quality study in BENCH_NOTES.md.
     movement_nf: tuple | None = None
+    # Emulate the reference sampler's asymmetric x/4 offset units so
+    # imported reference checkpoints (interop.torch_weights) compute the
+    # identical function; see nn/deformable_attn.py and REBUILD_NOTES.md.
+    ref_offset_units: bool = False
     dtype: Any = None
 
     def setup(self):
@@ -104,21 +108,22 @@ class DATwConstantnC(nn.Module):
             nf, nf, n_samples=ns3, n_groups=4, n_heads=4,
             offset_scale=2.0, mlp_ratio=self.mlp_ratio,
             window_sampling=ws, shared_offsets=so3, movement_nf=mv3,
-            dtype=self.dtype,
+            ref_offset_units=self.ref_offset_units, dtype=self.dtype,
         )
         self.lv3_to_lv2 = conv_transpose_x2(nf, dtype=self.dtype)
         self.dat_lv2 = CrossDeformableAttentionBlock(
             nf, nf, n_samples=ns2, n_groups=8, n_heads=8,
             offset_scale=4.0, mlp_ratio=self.mlp_ratio,
             window_sampling=ws, shared_offsets=so2, movement_nf=mv2,
-            dtype=self.dtype,
+            ref_offset_units=self.ref_offset_units, dtype=self.dtype,
         )
         self.lv2_to_lv1 = conv_transpose_x2(nf, dtype=self.dtype)
         self.dat_lv1 = CrossDeformableAttentionBlock(
             nf, nf, n_samples=ns1, n_groups=8, n_heads=8,
             offset_scale=8.0, mlp_ratio=self.mlp_ratio,
             pred_res_flow=False, window_sampling=ws, shared_offsets=so1,
-            attn_stride=st1, movement_nf=mv1, dtype=self.dtype,
+            attn_stride=st1, movement_nf=mv1,
+            ref_offset_units=self.ref_offset_units, dtype=self.dtype,
         )
         self.pixel_generator = BasicResPixelShuffleGenerator(
             nf, self.dec_res_blocks, dtype=self.dtype

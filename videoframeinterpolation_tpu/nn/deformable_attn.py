@@ -163,6 +163,12 @@ class CrossDeformableAttentionBlock(nn.Module):
     # width comes out, so thinning is a local change. Quality study in
     # BENCH_NOTES.md.
     movement_nf: int | None = None
+    # Reference-exact sampling units: emulate the reference's asymmetric
+    # normalization (modules/deformable_attn.py:94-95 divides x by (W-1)*2
+    # instead of (W-1)/2), i.e. effective x displacement = value/4 pixels.
+    # Only for evaluating imported reference checkpoints
+    # (interop.torch_weights); new training uses symmetric pixel units.
+    ref_offset_units: bool = False
     dtype: Any = None
 
     def setup(self):
@@ -236,6 +242,10 @@ class CrossDeformableAttentionBlock(nn.Module):
         mv_b = self._movement_feats(feat_t_b, feat_b, ft_b)
         res_b = self._res_offsets(mv_b)
         if self.window_sampling:
+            if self.ref_offset_units:
+                raise ValueError(
+                    "ref_offset_units is not supported with window_sampling"
+                )
             from ..ops.windowed import windowed_deformable_sample
 
             kv_b = windowed_deformable_sample(
@@ -243,6 +253,8 @@ class CrossDeformableAttentionBlock(nn.Module):
             )
         else:
             off_b = res_b + ft_b[:, :, :, None, None, :]
+            if self.ref_offset_units:
+                off_b = off_b * jnp.asarray([0.25, 1.0], off_b.dtype)
             kv_b = _grouped_deformable_sample(feat_b, off_b, self.n_offset_sets)
         attended = self.attn(
             feat_t, jnp.concatenate([kv_b[:B], kv_b[B:]], axis=1)
