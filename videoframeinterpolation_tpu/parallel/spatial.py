@@ -25,6 +25,71 @@ import numpy as np
 Array = jax.Array
 
 
+def make_sharded_infer(
+    apply_fn: Callable,
+    mesh,
+    *,
+    axis: int = 1,
+) -> Callable:
+    """Halo-exchange spatial parallelism: ONE frame sharded across the mesh.
+
+    Instead of overlapping tiles (which recompute the overlap band —
+    measured as a single-chip LOSS at 720p, BENCH_NOTES.md), the frame is
+    sharded along one spatial axis and the model runs as a single GSPMD
+    program: XLA inserts **halo exchanges** (``collective-permute`` of the
+    1-2 boundary rows each conv window needs) for every convolution, keeps
+    each device's conv compute exactly shard-sized, and turns the
+    deformable sampler's source features into a KV-style ``all-gather``
+    (sampling reach is data-dependent — flow + offset_scale — so the
+    gather-side features are globally visible while queries stay sharded;
+    this removes the flow-magnitude overlap assumption of tile mode
+    entirely). Audited in ``tests/test_halo_sharding.py``: conv HLO shapes
+    are shard-sized and the program contains collective-permutes, so no
+    overlap pixel is ever recomputed and nothing silently replicates.
+
+    On a 1-device mesh this degenerates to exactly the full-frame program
+    (no halos, no recompute) — spatial scaling never costs single-chip
+    latency, unlike tile mode's +36% overlap tax.
+
+    This is SURVEY.md section 5.7's "context parallelism" slot done the
+    TPU way: pick a mesh, annotate shardings, let XLA insert the
+    collectives.
+
+    Args:
+      apply_fn: ``(params, x0, x1, t) -> pred`` model forward (params stay
+        an argument — never closure-captured).
+      mesh: 1-D ``jax.sharding.Mesh``; its single axis shards the spatial
+        axis.
+      axis: which input axis to shard — 1 (H, default) or 2 (W). Prefer
+        the longer side so per-device slabs stay near-square.
+
+    Returns:
+      jitted ``sharded(params, x0, x1, t) -> (B, H, W, 3)`` with inputs
+      and output sharded along ``axis``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    name = mesh.axis_names[0]
+    spec = [None, None, None, None]
+    spec[axis] = name
+    xsh = NamedSharding(mesh, PartitionSpec(*spec))
+    rep = NamedSharding(mesh, PartitionSpec())
+
+    jitted = jax.jit(
+        apply_fn, in_shardings=(rep, xsh, xsh, rep), out_shardings=xsh
+    )
+
+    def sharded(params, x0: Array, x1: Array, t: Array) -> Array:
+        return jitted(
+            params, jax.device_put(x0, xsh), jax.device_put(x1, xsh),
+            jax.device_put(t, rep),
+        )
+
+    sharded.jitted = jitted
+    sharded.input_sharding = xsh
+    return sharded
+
+
 def _tile_starts(size: int, tile: int, stride: int) -> list[int]:
     """Start offsets covering [0, size) with the final tile right-aligned."""
     if size <= tile:
