@@ -1,105 +1,223 @@
-"""Benchmark: flagship DAT inference latency at Vimeo90K resolution.
+"""Benchmark suite: the north-star metrics on the real TPU.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+stdout contract (driver): exactly ONE JSON line — the headline metric —
+printed last:
+
+  {"metric": "dat_fast_inference_448x256_ms_per_frame", "value": N,
+   "unit": "ms", "vs_baseline": N}
+
+The full north-star suite (exact-parity flagship, IFRNet, 720p full-frame,
+frame-pairs/s, MFU from XLA cost analysis) streams as JSON lines on stderr
+and is mirrored to ``BENCH_SUITE.json``. Extras are individually guarded
+and budget-bounded (``BENCH_BUDGET_S``, default 2700 s) so an outage or a
+slow remote compile can never lose the headline line.
 
 Methodology: this environment reaches the TPU through an RPC tunnel with
 ~25 ms fixed dispatch+fetch overhead, and ``block_until_ready`` does not
 reliably fence device execution. We therefore measure *marginal* per-frame
 device time: run the forward pass N times inside one jitted ``fori_loop``
 (data-dependent chaining so nothing is elided), force completion with a
-scalar fetch, and report ``(T(N_hi) - T(N_lo)) / (N_hi - N_lo)``.
+scalar fetch, and report ``(T(N_hi) - T(N_lo)) / (N_hi - N_lo)``. The trip
+count is a traced scalar so each model costs ONE remote compile (~3-5 min),
+not one per N.
 
-Baseline: the reference README's closest published flagship-family number —
-DCNDATv1 at 0.048 s/frame on the author's research GPU (README.md:61-63;
-the active DATwConstantnCv1 itself has no published latency).
+Baselines: the reference README's published per-frame GPU latencies
+(hardware unspecified) — DCNDATv1 0.048 s/frame (README.md:61-63, the
+closest published flagship-family number; DATwConstantnCv1 itself has no
+published latency) and IFRNet 0.006 s/frame (README.md:16-18).
 ``vs_baseline`` is the speedup factor (baseline_ms / ours_ms; >1 is faster
 than the reference).
 
 Headline model: ``configs/DAT_fast.yaml`` — the flagship DAT architecture
 with shared sampling offsets and the per-level sample counts shipped in
-that YAML (the two gather-row levers; see BENCH_NOTES.md for the ladder). The head-to-head studies (BENCH_NOTES.md) train it
-and the exact reference architecture from scratch on byte-identical data
-and show near-parity held-out PSNR; the exact-parity model's latency
-(152 ms) is documented in BENCH_NOTES.md alongside.
+that YAML (the two gather-row levers; see BENCH_NOTES.md for the ladder).
+The head-to-head studies (BENCH_NOTES.md round 3) train it and the exact
+reference architecture from scratch on byte-identical data: the fast
+config trades ~0.3 dB held-out PSNR at the 20k-step horizon for a 15.6x
+latency win; the exact-parity model's latency is reported in the suite
+as ``dat_exact_inference_448x256_ms_per_frame``.
+
+MFU: model forward FLOPs from ``tools/perf/model_flops.py`` (XLA cost
+analysis, CPU subprocess so no extra remote compile) divided by measured
+time and the v5e bf16 peak (197 TFLOP/s). The flagship is gather-bound by
+design, so its MFU is expectedly low; IFRNet is the compute-bound number.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
-BASELINE_MS = 48.0  # DCNDATv1 0.048 s/frame (README.md:61-63)
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from videoframeinterpolation_tpu.utils.platform import honor_env_platform  # noqa: E402
+
+honor_env_platform()
+
+import jax.numpy as jnp  # noqa: E402
+
+BASELINE_MS = 48.0          # DCNDATv1 0.048 s/frame (README.md:61-63)
+IFRNET_BASELINE_MS = 6.0    # IFRNet 0.006 s/frame (README.md:16-18)
+PEAK_BF16_FLOPS = 197e12    # TPU v5e (v5 lite) bf16 peak per chip
+
+_REPO = Path(__file__).resolve().parent
 
 
 def time_loop(forward, args, n_lo: int = 1, n_hi: int = 17, reps: int = 3):
     """Marginal per-iteration device time of ``forward(*args)``.
 
     ``forward``'s first argument is chained through iterations with an
-    epsilon perturbation so the loop cannot be collapsed.
+    epsilon perturbation so the loop cannot be collapsed. The trip count
+    is a traced scalar: one compile serves both N values.
     """
 
-    def make(n):
-        @jax.jit
-        def f(params, x0, *rest):
-            def body(i, c):
-                out = forward(params, c, *rest)
-                return c + 1e-12 * out
-            return jnp.sum(jax.lax.fori_loop(0, n, body, x0))
-
-        return f
+    @jax.jit
+    def f(n, params, x0, *rest):
+        def body(i, c):
+            out = forward(params, c, *rest)
+            return c + 1e-12 * out
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x0))
 
     results = []
     for n in (n_lo, n_hi):
-        f = make(n)
-        float(f(*args))  # compile + warm
+        n_dev = jnp.int32(n)
+        float(f(n_dev, *args))  # compile (first call) + warm
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(f(*args))
+            float(f(n_dev, *args))
             ts.append(time.perf_counter() - t0)
         results.append(min(ts))
     return (results[1] - results[0]) / (n_hi - n_lo)
 
 
-def main() -> None:
-    from pathlib import Path
-
-    from videoframeinterpolation_tpu.config import Config
+def measure_model(cfg, H: int, W: int, B: int = 1, n_hi: int = 17):
+    """(seconds per batch forward, param count) for ``cfg`` at HxW."""
     from videoframeinterpolation_tpu.models import create_model
 
-    # Headline: the shipped fast-flagship config (configs/DAT_fast.yaml) —
-    # the flagship DAT architecture with shared sampling offsets at the
-    # levels where gather rows dominate. Quality-validated head-to-head
-    # against the exact reference architecture on held-out procedural data
-    # (BENCH_NOTES.md round-2 study); the exact-parity model's latency is
-    # tracked in BENCH_NOTES.md.
-    cfg = Config.from_yaml(Path(__file__).parent / "configs" / "DAT_fast.yaml")
     model = create_model(cfg)
-
-    H, W = 256, 448  # Vimeo90K frame size
     rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32))
-    x1 = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32))
-    t = jnp.full((1, 1, 1, 1), 0.5, jnp.float32)
-
-    params = model.init(jax.random.key(0), x0[:, :32, :32], x1[:, :32, :32], t)
+    x0 = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    x1 = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    t = jnp.full((B, 1, 1, 1), 0.5, jnp.float32)
+    params = model.init(jax.random.key(0), x0[:1, :32, :32],
+                        x1[:1, :32, :32], t[:1])
+    n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
 
     def forward(params, x0, x1, t):
         return model.apply(params, x0, x1, t)
 
-    sec = time_loop(forward, (params, x0, x1, t))
-    ms = float(sec * 1e3)
-    print(json.dumps({
-        "metric": "dat_fast_inference_448x256_ms_per_frame",
-        "value": round(ms, 3),
-        "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / ms, 3),
-    }))
+    sec = time_loop(forward, (params, x0, x1, t), n_hi=n_hi)
+    return float(sec), n_params
+
+
+def _flops(config_arg: str, H: int, W: int, timeout_s: int = 1200):
+    """Forward FLOPs via the CPU cost-analysis subprocess (no TPU use)."""
+    out = subprocess.run(
+        [sys.executable, str(_REPO / "tools" / "perf" / "model_flops.py"),
+         config_arg, str(H), str(W)],
+        capture_output=True, text=True, timeout=timeout_s, cwd=_REPO)
+    if out.returncode != 0:
+        raise RuntimeError(f"model_flops rc={out.returncode}: "
+                           f"{out.stderr[-300:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])["flops"]
+
+
+def main() -> None:
+    from videoframeinterpolation_tpu.config import Config
+
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+    t_start = time.monotonic()
+    suite: list = []
+
+    def emit(rec: dict) -> None:
+        suite.append(rec)
+        print(json.dumps(rec), file=sys.stderr, flush=True)
+        (_REPO / "BENCH_SUITE.json").write_text(json.dumps(
+            {"device": jax.devices()[0].device_kind,
+             "records": suite}, indent=1) + "\n")
+
+    headline = None
+    secs: dict = {}
+    try:
+        # Headline: the shipped fast flagship (configs/DAT_fast.yaml).
+        cfg_fast = Config.from_yaml(_REPO / "configs" / "DAT_fast.yaml")
+        sec, n_params = measure_model(cfg_fast, 256, 448)
+        ms = sec * 1e3
+        secs["dat_fast"] = sec
+        headline = {
+            "metric": "dat_fast_inference_448x256_ms_per_frame",
+            "value": round(ms, 3), "unit": "ms",
+            "vs_baseline": round(BASELINE_MS / ms, 3),
+        }
+        emit({**headline, "params": n_params,
+              "pairs_per_s_per_chip": round(1e3 / ms, 1)})
+
+        def ifrnet():
+            cfg = Config(model_name="IFRNet", compute_dtype="bfloat16")
+            sec, n_params = measure_model(cfg, 256, 448)
+            secs["ifrnet"] = sec
+            ms = sec * 1e3
+            emit({"metric": "ifrnet_inference_448x256_ms_per_frame",
+                  "value": round(ms, 3), "unit": "ms",
+                  "vs_baseline": round(IFRNET_BASELINE_MS / ms, 3),
+                  "params": n_params,
+                  "pairs_per_s_per_chip": round(1e3 / ms, 1)})
+
+        def dat_exact():
+            cfg = Config.from_yaml(_REPO / "configs" / "DAT.yaml")
+            sec, n_params = measure_model(cfg, 256, 448, n_hi=9)
+            ms = sec * 1e3
+            emit({"metric": "dat_exact_inference_448x256_ms_per_frame",
+                  "value": round(ms, 3), "unit": "ms",
+                  "vs_baseline": round(BASELINE_MS / ms, 3),
+                  "params": n_params,
+                  "pairs_per_s_per_chip": round(1e3 / ms, 1)})
+
+        def dat_fast_720p():
+            sec, _ = measure_model(cfg_fast, 720, 1280, n_hi=5)
+            secs["dat_fast_720p"] = sec
+            ms = sec * 1e3
+            emit({"metric": "dat_fast_inference_720p_ms_per_pair",
+                  "value": round(ms, 3), "unit": "ms",
+                  "vs_baseline": None,  # no published reference 720p number
+                  "pairs_per_s_per_chip": round(1e3 / ms, 2)})
+
+        def mfu():
+            for key, cfg_arg, (H, W) in (
+                ("dat_fast", str(_REPO / "configs" / "DAT_fast.yaml"),
+                 (256, 448)),
+                ("ifrnet", "IFRNet", (256, 448)),
+            ):
+                if key not in secs:
+                    continue
+                fl = _flops(cfg_arg, H, W)
+                val = fl / secs[key] / PEAK_BF16_FLOPS
+                emit({"metric": f"mfu_{key}_448x256",
+                      "value": round(val, 4), "unit": "fraction",
+                      "flops_per_frame_g": round(fl / 1e9, 2),
+                      "peak_bf16_tflops": PEAK_BF16_FLOPS / 1e12})
+
+        for name, fn in (("ifrnet", ifrnet),
+                         ("dat_fast_720p", dat_fast_720p),
+                         ("dat_exact", dat_exact),
+                         ("mfu", mfu)):
+            if time.monotonic() - t_start > budget_s:
+                emit({"metric": name, "skipped": "time budget"})
+                continue
+            try:
+                fn()
+            except Exception as e:  # never lose the headline to an extra
+                emit({"metric": name, "error": repr(e)[:300]})
+    finally:
+        if headline is not None:
+            print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

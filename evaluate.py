@@ -25,7 +25,15 @@ def main() -> None:
                         help="evaluate through the exact-parity windowed "
                         "sampling fast path (same params — any flagship "
                         "checkpoint works)")
+    parser.add_argument("--tile", type=int, default=0,
+                        help="spatial tile size for HD frames (0 = off; "
+                        "e.g. SNU-FILM extreme 1280x720) — overlap is "
+                        "sized per pair from the model's own flow estimate")
     args = parser.parse_args()
+
+    from videoframeinterpolation_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
 
     import jax
 
@@ -65,19 +73,34 @@ def main() -> None:
     n = sum(int(l.size) for l in jax.tree_util.tree_leaves(state.params))
     print(f"Number of params: {n}")
 
-    infer_jit = jax.jit(lambda p, x0, x1, t: model.apply(p, x0, x1, t))
-    infer = lambda x0, x1, t: infer_jit(state.params, x0, x1, t)  # noqa: E731
+    def apply_fn(p, x0, x1, t):
+        return model.apply(p, x0, x1, t)
+
+    if args.tile:
+        # HD frames (SNU-FILM hard/extreme) tile with a per-pair
+        # flow-aware overlap; small frames route full-frame automatically.
+        from videoframeinterpolation_tpu.parallel.spatial import (
+            make_flow_aware_tiled,
+        )
+        infer = make_flow_aware_tiled(
+            apply_fn, state.params, args.tile,
+            train_apply_fn=lambda p, a, b, tt, train: model.apply(
+                p, a, b, tt, train=train),
+        )
+    else:
+        infer_jit = jax.jit(apply_fn)
+        infer = lambda x0, x1, t: infer_jit(state.params, x0, x1, t)  # noqa: E731
 
     if args.benchmark == "vimeo90k":
         validate_vimeo90k(infer, cfg.root, batch_size=args.batch_size,
                           report_ssim=args.ssim)
     elif args.benchmark == "ucf101":
-        validate_ucf101(infer, report_ssim=args.ssim)
+        validate_ucf101(infer, root=cfg.ucf101_root, report_ssim=args.ssim)
     elif args.benchmark == "synthetic":
         validate_synthetic(infer, seed=cfg.seed, report_ssim=args.ssim,
                            batch_size=args.batch_size)
     else:
-        validate_snu(infer, report_ssim=args.ssim)
+        validate_snu(infer, root=cfg.snu_root, report_ssim=args.ssim)
 
 
 if __name__ == "__main__":

@@ -20,6 +20,10 @@ import numpy as np
 
 
 def _load_model(args):
+    from videoframeinterpolation_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
+
     import jax
     import jax.numpy as jnp
 
@@ -40,28 +44,30 @@ def _load_model(args):
         state, _ = CheckpointManager(cfg.log_dir).restore(args.ckpt, state)
         params = state.params
 
-    from videoframeinterpolation_tpu.parallel.spatial import make_tiled_infer
+    from videoframeinterpolation_tpu.parallel.spatial import (
+        make_flow_aware_tiled,
+    )
 
     def apply_fn(p, x0, x1, t):
         return model.apply(p, x0, x1, t)
 
     # Params stay explicit arguments (closure capture would inline them as
     # compile-time constants); tiling runs as ONE compiled program.
+    if args.tile:
+        # Flow-aware tiling: overlap/trim sized per pair from the model's
+        # own low-res flow estimate (VERDICT round-2 gap #3). Small frames
+        # route to the full-frame program automatically.
+        return make_flow_aware_tiled(
+            apply_fn, params, args.tile,
+            train_apply_fn=lambda p, a, b, tt, train: model.apply(
+                p, a, b, tt, train=train),
+        )
+
     infer_jit = jax.jit(apply_fn)
-    tiled_jit = make_tiled_infer(
-        apply_fn, tile_hw=(args.tile, args.tile), overlap=64,
-    ) if args.tile else None
-
-    def infer(x0, x1, t):
-        return infer_jit(params, x0, x1, t)
-
-    def tiled(x0, x1, t):
-        return tiled_jit(params, x0, x1, t)
-
-    return infer, (tiled if tiled_jit else None)
+    return lambda x0, x1, t: infer_jit(params, x0, x1, t)
 
 
-def _interp_pair(infer, tiled, img0, img1, t_val, tile):
+def _interp_pair(infer, img0, img1, t_val):
     import jax.numpy as jnp
 
     from videoframeinterpolation_tpu.data import InputPadder
@@ -72,11 +78,7 @@ def _interp_pair(infer, tiled, img0, img1, t_val, tile):
 
     padder = InputPadder(x0.shape, divisor=16)
     x0p, x1p = padder.pad(x0, x1)
-    if tiled is not None and tile and max(x0p.shape[1], x0p.shape[2]) > tile:
-        pred = tiled(x0p, x1p, t)
-    else:
-        pred = infer(x0p, x1p, t)
-    pred = padder.unpad(pred)
+    pred = padder.unpad(infer(x0p, x1p, t))
     return (np.clip(np.asarray(pred[0]), 0, 1) * 255).astype(np.uint8)
 
 
@@ -102,7 +104,7 @@ def main() -> None:
 
     import imageio.v2 as imageio
 
-    infer, tiled = _load_model(args)
+    infer = _load_model(args)
 
     if args.in_dir:
         frames = sorted(Path(args.in_dir).iterdir())
@@ -114,7 +116,7 @@ def main() -> None:
             out = []
             for a, b in zip(seq[:-1], seq[1:]):
                 out.append(a)
-                out.append(_interp_pair(infer, tiled, a, b, 0.5, args.tile))
+                out.append(_interp_pair(infer, a, b, 0.5))
             out.append(seq[-1])
             seq = out
         for i, fr in enumerate(seq):
@@ -124,7 +126,7 @@ def main() -> None:
         assert args.frame0 and args.frame1 and args.out
         img0 = imageio.imread(args.frame0)
         img1 = imageio.imread(args.frame1)
-        pred = _interp_pair(infer, tiled, img0, img1, args.t, args.tile)
+        pred = _interp_pair(infer, img0, img1, args.t)
         imageio.imwrite(args.out, pred)
         print(f"wrote {args.out}")
 

@@ -28,6 +28,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 import numpy as np
 import jax
+
+from videoframeinterpolation_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
+
 import jax.numpy as jnp
 
 
@@ -76,6 +81,10 @@ def main():
     ap.add_argument("--movement_nf", default=None,
                     help="flagship movement-extractor width per level "
                          "'lv3,lv2,lv1' (default: nf at every level)")
+    ap.add_argument("--dec_res_blocks", type=int, default=10,
+                    help="generator residual blocks (reference parity 10; "
+                         "the 720p profile puts the generator at ~18% of "
+                         "HD latency — tools/perf/README.md)")
     ap.add_argument("--out_dir", type=str,
                     default=str(Path(__file__).parent / "results"))
     args = ap.parse_args()
@@ -107,7 +116,10 @@ def main():
            + ("_s" + "-".join(map(str, samples)) if args.samples else "")
            + (f"_stride{args.attn_stride}" if args.attn_stride != 1 else "")
            + ("_mv" + "-".join(map(str, movement_nf)) if movement_nf else "")
-           + (f"_seed{args.seed}" if args.seed != 42 else ""))
+           + (f"_dec{args.dec_res_blocks}" if args.dec_res_blocks != 10
+              else "")
+           + (f"_seed{args.seed}" if args.seed != 42 else "")
+           + (f"_{args.steps // 1000}k" if args.steps != 4000 else ""))
     out_path = out_dir / f"{tag}.jsonl"
 
     OFFSET_SETS = ((-2, -1, 0, 1, 2), (-4, -2, -1, 0, 1, 2, 4),
@@ -122,6 +134,7 @@ def main():
         n_offset_groups=(4, 8, 8) if args.goff else (0, 0, 0),
         shared_offsets=shared,
         dat_samples=samples,
+        dec_res_blocks=args.dec_res_blocks,
         dat_attn_stride=(1, 1, args.attn_stride),
         dat_movement_nf=movement_nf,
     )
@@ -151,7 +164,8 @@ def main():
                       n_offset_groups=(4, 8, 8) if args.goff else (0, 0, 0),
                       shared_offsets=shared, dat_samples=samples,
                       dat_attn_stride=(1, 1, args.attn_stride),
-                      dat_movement_nf=movement_nf)
+                      dat_movement_nf=movement_nf,
+                      dec_res_blocks=args.dec_res_blocks)
     eval_model = create_model(eval_cfg)
     infer = jax.jit(lambda p, a, b, t: eval_model.apply(p, a, b, t))
     vx0, vx1, vt = (jnp.asarray(val[k]) for k in ("x0", "x1", "t"))

@@ -24,6 +24,10 @@ def main() -> None:
                         help="initialize jax.distributed for multi-host pods")
     args = parser.parse_args()
 
+    from videoframeinterpolation_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
+
     if args.multihost:
         import jax
 

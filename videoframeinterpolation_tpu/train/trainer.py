@@ -21,7 +21,7 @@ import numpy as np
 from ..config import Config
 from ..data import DATASET_REGISTRY, DataLoader
 from ..eval.benchmarks import (
-    validate_synthetic, validate_ucf101, validate_vimeo90k,
+    validate_snu, validate_synthetic, validate_ucf101, validate_vimeo90k,
 )
 from ..models import create_model
 from ..parallel import create_mesh, shard_batch
@@ -96,7 +96,9 @@ class Trainer:
         if "vimeo90k" in self.cfg.val_datasets:
             results.update(validate_vimeo90k(infer, self.cfg.root))
         if "ucf101" in self.cfg.val_datasets:
-            results.update(validate_ucf101(infer))
+            results.update(validate_ucf101(infer, root=self.cfg.ucf101_root))
+        if "snu" in self.cfg.val_datasets:
+            results.update(validate_snu(infer, root=self.cfg.snu_root))
         if "synthetic" in self.cfg.val_datasets:
             results.update(validate_synthetic(
                 infer, seed=self.cfg.seed,
