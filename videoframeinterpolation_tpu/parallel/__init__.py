@@ -13,6 +13,7 @@ from .mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    shard_chunk,
 )
 from .spatial import make_sharded_infer, make_tiled_infer, tiled_inference
 
@@ -21,6 +22,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "shard_chunk",
     "make_sharded_infer",
     "make_tiled_infer",
     "tiled_inference",

@@ -44,3 +44,11 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = DATA_AXIS) -> dict:
     """Device-put a host batch with its leading axis sharded over the mesh."""
     sh = batch_sharding(mesh, axis_name)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_chunk(batches: dict, mesh: Mesh, axis_name: str = DATA_AXIS) -> dict:
+    """Device-put stacked ``(chunk, B, ...)`` batches, sharding the batch
+    axis (axis 1) over the mesh — the layout ``make_chunked_train_step``'s
+    ``lax.scan`` consumes (scan iterates axis 0 on-device)."""
+    sh = NamedSharding(mesh, P(None, axis_name))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batches)

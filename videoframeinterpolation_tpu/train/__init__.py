@@ -2,7 +2,12 @@
 
 from .schedule import make_schedule, warmup_cosine_lr
 from .state import TrainState, create_optimizer, create_train_state
-from .step import make_inference_fn, make_loss_fn, make_train_step
+from .step import (
+    make_chunked_train_step,
+    make_inference_fn,
+    make_loss_fn,
+    make_train_step,
+)
 
 __all__ = [
     "make_schedule",
@@ -10,6 +15,7 @@ __all__ = [
     "TrainState",
     "create_optimizer",
     "create_train_state",
+    "make_chunked_train_step",
     "make_inference_fn",
     "make_loss_fn",
     "make_train_step",

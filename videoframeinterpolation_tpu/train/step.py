@@ -175,6 +175,46 @@ def make_train_step(model, cfg: Config, mesh) -> Callable:
     )
 
 
+def make_chunked_train_step(model, cfg: Config, mesh, chunk: int) -> Callable:
+    """Compiled ``chunked_step(state, batches) -> (new_state, logs)``.
+
+    Runs ``chunk`` optimizer steps inside ONE dispatch via ``lax.scan`` —
+    per-step math is identical to :func:`make_train_step` (same op order,
+    same schedule via ``state.step``), so loss/PSNR curves are directly
+    comparable with the unchunked loop. ``batches`` is a pytree whose
+    leaves have leading shape ``(chunk, B, ...)``; the batch axis (axis 1)
+    is sharded over the mesh. ``logs`` leaves come back stacked ``(chunk,)``.
+
+    Why: on the tunneled single-chip backend each dispatch costs ~25 ms and
+    every per-step scalar fetch blocks the pipeline; scanning K steps per
+    dispatch amortizes both (measured ~0.33 s/step -> ~0.05 s/step for the
+    quality-study trainer at K=20). On real multi-chip hardware it is the
+    standard XLA multi-step trick (no host round-trip between steps).
+    """
+    loss_fn = make_loss_fn(model, cfg)
+
+    def one_step(state: TrainState, batch):
+        (loss, log), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        return state.apply_gradients(grads=grads), log
+
+    def chunked_step(state: TrainState, batches):
+        return jax.lax.scan(one_step, state, batches, length=chunk)
+
+    repl = replicated_sharding(mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import DATA_AXIS
+
+    data = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(
+        chunked_step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
 def make_inference_fn(model, mesh=None) -> Callable:
     """Compiled ``infer(params, x0, x1, t) -> pred`` (eval / serving path)."""
 
