@@ -18,6 +18,7 @@ from videoframeinterpolation_tpu.parallel import (
 from videoframeinterpolation_tpu.train import (
     create_train_state,
     make_chunked_train_step,
+    make_pool_chunked_train_step,
     make_train_step,
 )
 
@@ -37,8 +38,10 @@ def test_chunked_step_matches_sequential():
         init_batch["t"], train=True,
     )
 
-    # Both step fns donate their input state; give each its own buffers.
+    # All three step fns donate their input state; give each its own
+    # buffers.
     params_chk = jax.tree_util.tree_map(lambda x: x.copy(), params)
+    params_pool = jax.tree_util.tree_map(lambda x: x.copy(), params)
 
     state_seq = create_train_state(model, params, cfg)
     step_fn = make_train_step(model, cfg, mesh)
@@ -62,6 +65,27 @@ def test_chunked_step_matches_sequential():
     for a, b in zip(
         jax.tree_util.tree_leaves(state_seq.params),
         jax.tree_util.tree_leaves(state_chk.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
+
+    # Pool variant: the K batches live in a device pool of 2K items, each
+    # scan step gathering its batch by index — must match too.
+    pool = {
+        k: np.concatenate([b[k] for b in batches]) for k in batches[0]
+    }
+    idx = np.arange(K * 8, dtype=np.int32).reshape(K, 8)
+    state_p = create_train_state(model, params_pool, cfg)
+    pool_fn = make_pool_chunked_train_step(model, cfg, mesh, K)
+    state_p, logs_p = pool_fn(state_p, jax.device_put(pool), idx)
+    np.testing.assert_allclose(
+        np.asarray(logs_p["total_loss"]), np.asarray(seq_losses),
+        rtol=1e-5, atol=1e-7,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_seq.params),
+        jax.tree_util.tree_leaves(state_p.params),
     ):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7

@@ -35,6 +35,22 @@ def _make_vimeo_tree(root: Path, n_seq=2, hw=(48, 48)):
     (root / "tri_testlist.txt").write_text("\n".join(seqs) + "\n")
 
 
+def _make_snu_tree(root: Path, hw=(96, 128)):
+    """SNU-FILM-style fixture: HD-ish frames + the four level lists."""
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(5)
+    d = root / "test" / "clip"
+    d.mkdir(parents=True)
+    names = ["f0.png", "gt.png", "f1.png"]
+    for name in names:
+        imageio.imwrite(d / name,
+                        rng.integers(0, 255, (*hw, 3), dtype=np.uint8))
+    line = " ".join(str(d / n) for n in names) + "\n"
+    for level in ("easy", "medium", "hard", "extreme"):
+        (root / f"test-{level}.txt").write_text(line)
+
+
 def _run(args, cwd, env):
     return subprocess.run(
         [sys.executable] + args, cwd=cwd, env=env,
@@ -67,6 +83,7 @@ val_datasets: [vimeo90k]
 save_latest_freq: 1
 save_every_freq_epoch: 1
 log_dir: {tmp_path}/exp
+snu_root: {tmp_path}/snu
 """)
 
     env = dict(os.environ)
@@ -92,3 +109,33 @@ log_dir: {tmp_path}/exp
     ], REPO, env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert out.exists()
+
+    # --tile end-to-end (VERDICT round-3 #5): 96x128 SNU fixture frames
+    # exceed tile 64, so both CLIs go through the flow-aware path: probe
+    # the pair's motion, then either tile with a planned overlap ("tiling
+    # plan" on stdout) or — if the untrained model's flow estimate exceeds
+    # what the tile can hold — route FULL-FRAME with a loud warning
+    # (stderr). Both outcomes prove the CLI wiring (incl. the
+    # train_apply_fn lambda) executes; a silent clamped plan would show
+    # neither marker and fail.
+    def _flow_aware_ran(r):
+        return ("tiling plan" in r.stdout) or ("FULL-FRAME" in r.stderr)
+
+    snu = tmp_path / "snu"
+    _make_snu_tree(snu)
+    r = _run(["evaluate.py", "--config", str(cfg), "--ckpt", "latest",
+              "--benchmark", "snu", "--tile", "64"], REPO, env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert _flow_aware_ran(r), r.stdout[-1000:] + r.stderr[-1000:]
+    assert "Validation SNU-FILM test-extreme PSNR" in r.stdout
+
+    out_tiled = tmp_path / "mid_tiled.png"
+    r = _run([
+        "interpolate.py", "--config", str(cfg), "--ckpt", "latest",
+        "--frame0", str(snu / "test/clip/f0.png"),
+        "--frame1", str(snu / "test/clip/f1.png"),
+        "--out", str(out_tiled), "--t", "0.5", "--tile", "64",
+    ], REPO, env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert _flow_aware_ran(r), r.stdout[-1000:] + r.stderr[-1000:]
+    assert out_tiled.exists()

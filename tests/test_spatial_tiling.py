@@ -188,10 +188,12 @@ def test_required_overlap_math():
 
     ov, trim = required_overlap(0.0)   # offsets only: reach 16
     assert (ov, trim) == (32, 16)
-    ov, trim = required_overlap(40.0)  # 40 px flow + 16 px offsets
-    assert trim == 56
-    assert ov == 112                   # >= 2*trim, rounded to stride 16
+    ov, trim = required_overlap(40.0)  # 40 px flow + 16 px offsets = 56
+    assert trim == 64                  # quantized UP to 16 (plan-space cap)
+    assert ov == 128                   # >= 2*trim, rounded to stride 16
     assert ov >= 2 * trim and ov % 16 == 0
+    ov, trim = required_overlap(40.0, quantize=1)  # unquantized floor
+    assert (ov, trim) == (112, 56)
 
 
 def test_check_overlap_warns_on_insufficient_overlap():
@@ -261,7 +263,8 @@ def test_large_motion_needs_computed_overlap():
     )({}, x0, x0, t))
     assert np.max(np.abs(bad - full)) > 0.05  # visible seam
 
-    ov, trim = required_overlap(F, offset_reach_px=0.0, feather_px=8)
+    ov, trim = required_overlap(F, offset_reach_px=0.0, feather_px=8,
+                                quantize=1)
     assert trim == 20 and ov >= 2 * trim
     good = np.asarray(make_tiled_infer(
         apply_fn, tile_hw=(96, 96), overlap=ov, trim=trim, tile_batch=4,
@@ -307,3 +310,95 @@ def test_make_flow_aware_tiled_routes_and_plans():
         np.asarray(infer(big0, big0, t)),
         np.asarray(jax.jit(apply_fn)(params, big0, big0, t)),
         rtol=1e-3, atol=2e-3)
+
+
+def test_flow_aware_failure_modes():
+    """VERDICT round-3 #5 / ADVICE round-3: loud, never-silent degradation.
+
+    (a) A probe raising TypeError warns and falls back to default_flow_px.
+    (b) Motion whose required overlap exceeds tile/2 routes to FULL-FRAME
+        (never a clamped seam-unsafe plan) with unsafe_plan="full" ...
+    (c) ... and raises naming make_sharded_infer with unsafe_plan="raise".
+    (d) Plans are quantized: nearby flow magnitudes share one cache entry.
+    (e) Non-probe exceptions (backend failures) propagate, not swallowed.
+    """
+    import warnings
+
+    import pytest
+
+    from videoframeinterpolation_tpu.parallel.spatial import (
+        make_flow_aware_tiled, required_overlap,
+    )
+
+    def apply_fn(p, a, b, tt):
+        return 0.5 * (a + b)
+
+    rng = np.random.default_rng(3)
+    big = jnp.asarray(rng.uniform(0, 1, (1, 96, 192, 3)).astype(np.float32))
+    t = jnp.full((1, 1, 1, 1), 0.5)
+    full = np.asarray(jax.jit(apply_fn)(None, big, big, t))
+
+    # (a) probe without flow pyramids -> TypeError -> warned fallback
+    def no_pyramids(p, a, b, tt, train=True):
+        return a, {}          # KeyError on inter["pred_ft0"]
+
+    infer = make_flow_aware_tiled(
+        apply_fn, None, 64, train_apply_fn=no_pyramids,
+        default_flow_px=0.0, verbose=False)
+    with pytest.warns(UserWarning, match="falling back to default_flow_px"):
+        out = np.asarray(infer(big, big, t))
+    np.testing.assert_allclose(out, full, rtol=1e-4, atol=1e-4)
+
+    # (b) huge default motion + tiny tile: full-frame fallback, warned
+    infer = make_flow_aware_tiled(
+        apply_fn, None, 64, default_flow_px=200.0, verbose=False)
+    with pytest.warns(UserWarning, match="FULL-FRAME"):
+        out = np.asarray(infer(big, big, t))
+    np.testing.assert_array_equal(out, full)  # same compiled program
+
+    # (c) raise mode names the halo-sharding alternative
+    infer = make_flow_aware_tiled(
+        apply_fn, None, 64, default_flow_px=200.0, verbose=False,
+        unsafe_plan="raise")
+    with pytest.raises(ValueError, match="make_sharded_infer"):
+        infer(big, big, t)
+    with pytest.raises(ValueError, match="unsafe_plan"):
+        make_flow_aware_tiled(apply_fn, None, 64, unsafe_plan="never")
+
+    # (d) quantization: 16-px plan space, nearby magnitudes share plans
+    assert required_overlap(15.0) == required_overlap(8.0)
+    o1, t1 = required_overlap(37.0)
+    assert o1 % 16 == 0 and t1 % 16 == 0
+    assert required_overlap(37.0) == required_overlap(47.9)
+
+    # (e) an unexpected exception class propagates
+    def broken(p, a, b, tt, train=True):
+        raise RuntimeError("backend exploded")
+
+    infer = make_flow_aware_tiled(
+        apply_fn, None, 64, train_apply_fn=broken, verbose=False)
+    with pytest.raises(RuntimeError, match="backend exploded"):
+        infer(big, big, t)
+
+
+def test_flow_probe_matches_eager_estimate():
+    """make_flow_probe (one jitted dispatch) == estimate_flow_magnitude."""
+    from videoframeinterpolation_tpu.parallel.spatial import (
+        estimate_flow_magnitude, make_flow_probe,
+    )
+
+    lv_vals = (3.0, 1.0, 0.5, 0.25)
+
+    def apply_fn(params, x0, x1, t, train):
+        B, H, W, _ = x0.shape
+        inter = {
+            key: [jnp.full((B, H, W, 2), v) for v in lv_vals]
+            for key in ("pred_ft0", "pred_ft1")
+        }
+        return x0, inter
+
+    x0 = jnp.zeros((1, 128, 128, 3))
+    t = jnp.full((1, 1, 1, 1), 0.5)
+    eager = estimate_flow_magnitude(apply_fn, None, x0, x0, t)
+    probed = make_flow_probe(apply_fn)(None, x0, x0, t)
+    assert np.isclose(eager, probed, rtol=1e-6)

@@ -69,6 +69,12 @@ def main():
                          "TrainState restored, data sampler fast-forwarded "
                          "so the batch stream is byte-identical to an "
                          "uninterrupted run)")
+    ap.add_argument("--host_pool", action="store_true",
+                    help="stream batches from host RAM (legacy); default "
+                         "device_puts the whole pool into HBM once and "
+                         "gathers batches on-device by index — per-chunk "
+                         "transfer drops from ~136 MB to 160 ints on the "
+                         "tunneled backend, bit-identical batches")
     ap.add_argument("--dilated", action="store_true",
                     help="DAT-TPU dilated window taps (wider reach)")
     ap.add_argument("--goff", action="store_true",
@@ -103,6 +109,7 @@ def main():
     from videoframeinterpolation_tpu.parallel import create_mesh, shard_chunk
     from videoframeinterpolation_tpu.train import (
         create_train_state, make_chunked_train_step,
+        make_pool_chunked_train_step,
     )
     from videoframeinterpolation_tpu.eval.metrics import psnr
 
@@ -166,7 +173,12 @@ def main():
     state = create_train_state(model, params, cfg)
     if args.eval_every % args.chunk or args.steps % args.chunk:
         raise SystemExit("--chunk must divide --eval_every and --steps")
-    step_fn = make_chunked_train_step(model, cfg, mesh, args.chunk)
+    if args.host_pool:
+        step_fn = make_chunked_train_step(model, cfg, mesh, args.chunk)
+        pool_dev = None
+    else:
+        step_fn = make_pool_chunked_train_step(model, cfg, mesh, args.chunk)
+        pool_dev = jax.device_put(pool)  # once; ~650 MB at standard size
 
     # fp32 eval path (framework convention) over the held-out pool.
     eval_cfg = Config(model_name=args.model, nf=args.nf,
@@ -229,8 +241,13 @@ def main():
     while step < args.steps:
         idx = [sampler.integers(0, args.pool, size=args.batch)
                for _ in range(args.chunk)]
-        batches = {k: np.stack([v[i] for i in idx]) for k, v in pool.items()}
-        state, logs = step_fn(state, shard_chunk(batches, mesh))
+        if pool_dev is not None:
+            state, logs = step_fn(
+                state, pool_dev, jnp.asarray(np.stack(idx), jnp.int32))
+        else:
+            batches = {k: np.stack([v[i] for i in idx])
+                       for k, v in pool.items()}
+            state, logs = step_fn(state, shard_chunk(batches, mesh))
         if step == step0:
             print(f"first chunk done ({time.perf_counter() - t_start:.0f}s "
                   f"incl. compile)", flush=True)

@@ -77,6 +77,7 @@ def required_overlap(
     *,
     offset_reach_px: float = FLAGSHIP_OFFSET_REACH_PX,
     feather_px: int = 16,
+    quantize: int = 16,
 ) -> tuple[int, int]:
     """(overlap, trim) in px that make tiled inference seam-safe.
 
@@ -91,10 +92,51 @@ def required_overlap(
     to the model stride (16). The 64-px default overlap with its ov//4
     trim is only seam-safe up to ~0 px flow; this function is the
     data-driven replacement (VERDICT round 2, gap #3).
+
+    Both trim AND overlap are quantized UP to a multiple of ``quantize``
+    (default 16): the continuous per-pair flow estimate would otherwise
+    mint a distinct (overlap, trim) plan — and a fresh 3-5 min remote
+    compile — for nearly every HD pair (ADVICE round 3 #1).
     """
-    trim = int(math.ceil(flow_mag_px + offset_reach_px))
+    q = max(1, quantize)
+    trim = int(math.ceil((flow_mag_px + offset_reach_px) / q)) * q
     overlap = int(math.ceil(max(trim + feather_px, 2 * trim) / 16.0)) * 16
     return overlap, trim
+
+
+def make_flow_probe(
+    train_apply_fn: Callable,
+    *,
+    downscale: int = 4,
+    safety: float = 1.25,
+) -> Callable:
+    """Jitted ``probe(params, x0, x1, t) -> float`` max-flow estimate (px).
+
+    One compiled program (resize + train-mode forward + pyramid max) and
+    ONE scalar fetch per pair — the eager per-op dispatch of
+    ``estimate_flow_magnitude`` costs ~25 ms per op on the tunneled
+    backend (ADVICE round 3 #4). Recompiles per input shape; HD eval
+    shapes are constant per dataset so the jit cache holds one entry.
+    """
+
+    @jax.jit
+    def _mag(params, x0: Array, x1: Array, t: Array) -> Array:
+        B, H, W, _ = x0.shape
+        hh = max(32, int(round(H / downscale / 16)) * 16)
+        ww = max(32, int(round(W / downscale / 16)) * 16)
+        x0s = jax.image.resize(x0, (B, hh, ww, 3), "linear")
+        x1s = jax.image.resize(x1, (B, hh, ww, 3), "linear")
+        _, inter = train_apply_fn(params, x0s, x1s, t, train=True)
+        strides = (2.0, 4.0, 8.0, 16.0)
+        mags = [jnp.max(jnp.abs(flow)) * s
+                for key in ("pred_ft0", "pred_ft1")
+                for flow, s in zip(inter[key], strides)]
+        return jnp.max(jnp.stack(mags))
+
+    def probe(params, x0: Array, x1: Array, t: Array) -> float:
+        return float(_mag(params, x0, x1, t)) * downscale * safety
+
+    return probe
 
 
 def check_overlap(
@@ -191,42 +233,76 @@ def make_flow_aware_tiled(
     tile_batch: int = 8,
     mesh=None,
     verbose: bool = True,
+    unsafe_plan: str = "full",
 ) -> Callable:
     """``infer(x0, x1, t) -> pred`` with per-pair flow-sized tile overlap.
 
     Frames no larger than ``tile`` (or batched inputs) run full-frame; HD
     singles are tiled with overlap/trim computed from the pair's own
-    estimated motion (``estimate_flow_magnitude`` via ``train_apply_fn``,
+    estimated motion (a jitted ``make_flow_probe`` over ``train_apply_fn``,
     the model's ``train=True`` flow pyramids) plus the sampler's offset
     reach — replacing the fixed 64 px overlap that silently seams on large
-    motion (VERDICT round-2 gap #3). Plans are quantized to 16 px so the
-    compiled-sweep cache stays small.
+    motion (VERDICT round-2 gap #3). Both overlap and trim are quantized
+    to 16 px (``required_overlap``) so the compiled-sweep cache stays
+    small (<= tile/32 distinct plans).
+
+    Failure modes are LOUD, never silent (VERDICT round-3 #5):
+
+    - A probe that raises TypeError/KeyError (model without flow pyramids)
+      warns once and falls back to ``default_flow_px``; any other
+      exception (e.g. a backend failure) propagates.
+    - When the required overlap exceeds ``tile // 2`` the tile cannot hold
+      the sampling reach: with ``unsafe_plan="full"`` (default) the pair
+      runs FULL-FRAME (seam-free by construction, may cost memory) with a
+      warning; ``unsafe_plan="raise"`` raises a ValueError naming
+      ``make_sharded_infer`` as the memory-safe alternative. A clamped,
+      known-seam-unsafe plan is never silently executed.
 
     Args:
       apply_fn: ``(params, x0, x1, t) -> pred``.
       train_apply_fn: ``(params, x0, x1, t, train=True) -> (pred, inter)``
         exposing flow pyramids; None (or a model without them) falls back
         to ``default_flow_px``.
+      unsafe_plan: ``"full"`` or ``"raise"`` — policy when the estimated
+        motion cannot be made seam-safe at this tile size.
     """
+    if unsafe_plan not in ("full", "raise"):
+        raise ValueError(f"unsafe_plan must be 'full' or 'raise', "
+                         f"got {unsafe_plan!r}")
     full = jax.jit(apply_fn)
     cache: dict = {}
+    probe = make_flow_probe(train_apply_fn) if train_apply_fn else None
 
     def infer(x0: Array, x1: Array, t: Array) -> Array:
         H, W = x0.shape[1:3]
         if max(H, W) <= tile or x0.shape[0] != 1:
             return full(params, x0, x1, t)
         mag = default_flow_px
-        if train_apply_fn is not None:
+        if probe is not None:
             try:
-                mag = estimate_flow_magnitude(
-                    train_apply_fn, params, x0, x1, t)
-            except Exception:
-                pass
+                mag = probe(params, x0, x1, t)
+            except (TypeError, KeyError) as e:
+                warnings.warn(
+                    f"flow probe unavailable ({type(e).__name__}: {e}); "
+                    f"falling back to default_flow_px={default_flow_px} — "
+                    f"motion beyond that may seam", stacklevel=2)
         overlap, trim = required_overlap(mag)
+        if overlap > tile // 2:
+            # The tile cannot contain the sampling reach; a clamped plan
+            # WOULD seam. Never run it (VERDICT round-3 #5).
+            if unsafe_plan == "raise":
+                raise ValueError(
+                    f"estimated motion {mag:.0f}px needs overlap {overlap} "
+                    f"> tile/2 ({tile // 2}); use a larger --tile, or "
+                    f"halo sharding (make_sharded_infer) which has no "
+                    f"overlap assumption")
+            warnings.warn(
+                f"estimated motion {mag:.0f}px needs overlap {overlap} > "
+                f"tile/2 ({tile // 2}); running FULL-FRAME for this pair "
+                f"(seam-free; if it OOMs, use make_sharded_infer)",
+                stacklevel=2)
+            return full(params, x0, x1, t)
         check_overlap(overlap, trim, mag, tile)
-        # A plan the tile cannot satisfy degrades gracefully (warned).
-        overlap = min(overlap, tile // 2)
-        trim = max(0, min(trim, overlap // 2))  # blend-coverage invariant
         key = (overlap, trim)
         if key not in cache:
             if verbose:

@@ -6,6 +6,7 @@ from .step import (
     make_chunked_train_step,
     make_inference_fn,
     make_loss_fn,
+    make_pool_chunked_train_step,
     make_train_step,
 )
 
@@ -16,6 +17,7 @@ __all__ = [
     "create_optimizer",
     "create_train_state",
     "make_chunked_train_step",
+    "make_pool_chunked_train_step",
     "make_inference_fn",
     "make_loss_fn",
     "make_train_step",

@@ -215,6 +215,51 @@ def make_chunked_train_step(model, cfg: Config, mesh, chunk: int) -> Callable:
     )
 
 
+def make_pool_chunked_train_step(
+    model, cfg: Config, mesh, chunk: int
+) -> Callable:
+    """Compiled ``step(state, pool, idx) -> (new_state, logs)`` gathering
+    batches from an ON-DEVICE sample pool.
+
+    The quality-study trainer's fixed scene pool (~650 MB fp32 at the
+    standard 768x128x128 setting) fits HBM outright, so instead of
+    shipping every batch through the tunnel (~136 MB per 20-step chunk at
+    ~20 MB/s — measured as the round-4 arm bottleneck), the pool is
+    device_put ONCE and each chunk transfers only its ``(chunk, B)`` int32
+    index matrix. The gathered batches are bit-identical to host-streamed
+    ones (same pool values, same index stream), so curves stay comparable
+    with the round-2/3 protocol.
+    """
+    loss_fn = make_loss_fn(model, cfg)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import DATA_AXIS
+
+    data = NamedSharding(mesh, P(DATA_AXIS))
+
+    def one_step(pool, state: TrainState, idx):
+        batch = jax.tree_util.tree_map(lambda p: p[idx], pool)
+        batch = jax.lax.with_sharding_constraint(
+            batch, jax.tree_util.tree_map(lambda _: data, batch)
+        )
+        (loss, log), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        return state.apply_gradients(grads=grads), log
+
+    def chunked_step(state: TrainState, pool, idx):
+        return jax.lax.scan(
+            lambda s, i: one_step(pool, s, i), state, idx, length=chunk
+        )
+
+    repl = replicated_sharding(mesh)
+    return jax.jit(
+        chunked_step,
+        in_shardings=(repl, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
 def make_inference_fn(model, mesh=None) -> Callable:
     """Compiled ``infer(params, x0, x1, t) -> pred`` (eval / serving path)."""
 
