@@ -127,3 +127,49 @@ def test_output_shards_are_disjoint():
             assert a == rows[i - 1][1], f"overlap/gap between shards: {rows}"
         total += b - a
     assert total == y.shape[1]
+
+
+VARIANTS = {
+    "dat_fast": dict(shared_offsets=True, dat_samples=(8, 8, 2)),
+    "attn_stride2": dict(dat_attn_stride=(1, 1, 2)),
+    "window_sampling": dict(window_sampling=True),
+    "ref_offset_units": dict(dat_ref_offset_units=True),
+}
+
+
+@pytest.mark.parametrize("name", sorted(VARIANTS))
+def test_variant_sharded_equals_full_frame_and_partitions(name):
+    """VERDICT round-3 #7: every shipped flagship variant must hold the
+    halo-sharding claim — exact vs full-frame AND genuinely partitioned
+    (GSPMD could silently replicate e.g. the stride-2 pooled query grid
+    or the windowed strip-table gathers)."""
+    from videoframeinterpolation_tpu.config import Config
+    from videoframeinterpolation_tpu.models import create_model
+
+    cfg = Config(model_name="DATwConstantnCv1", nf=16, enc_res_blocks=1,
+                 dec_res_blocks=1, compute_dtype="float32",
+                 **VARIANTS[name])
+    model = create_model(cfg)
+    H, W = 128, 64
+    x0, x1, t = _inputs(H, W)
+    params = model.init(jax.random.PRNGKey(0), x0, x1, t)
+    y_full = model.apply(params, x0, x1, t)
+
+    sharded = make_sharded_infer(model.apply, _mesh())
+    y = sharded(params, x0, x1, t)
+    assert float(jnp.abs(y - y_full).max()) < 1e-5
+
+    hlo = sharded.jitted.lower(params, x0, x1, t).compile().as_text()
+    assert re.findall(r"collective-permute", hlo), "no halo exchanges"
+    n_dev = len(jax.devices())
+    shard_h = -(-H // n_dev)
+    heights = []
+    for ln in hlo.splitlines():
+        if " convolution(" not in ln:
+            continue
+        m = re.search(r"f32\[(\d+),(\d+),(\d+),(\d+)\]", ln)
+        if m:
+            heights.append((int(m.group(2)), ln.strip()[:120]))
+    assert heights, "no convolutions found in HLO"
+    worst = max(heights)
+    assert worst[0] <= shard_h + 4, f"unsharded conv ({name}): {worst}"
