@@ -117,11 +117,12 @@ def measure_model(cfg, H: int, W: int, B: int = 1, n_hi: int = 17):
     return float(sec), n_params
 
 
-def _flops(config_arg: str, H: int, W: int, timeout_s: int = 1200):
+def _flops(config_arg: str, H: int, W: int, B: int = 1,
+           timeout_s: int = 1200):
     """Forward FLOPs via the CPU cost-analysis subprocess (no TPU use)."""
     out = subprocess.run(
         [sys.executable, str(_REPO / "tools" / "perf" / "model_flops.py"),
-         config_arg, str(H), str(W)],
+         config_arg, str(H), str(W), str(B)],
         capture_output=True, text=True, timeout=timeout_s, cwd=_REPO)
     if out.returncode != 0:
         raise RuntimeError(f"model_flops rc={out.returncode}: "
@@ -189,22 +190,38 @@ def main() -> None:
                   "vs_baseline": None,  # no published reference 720p number
                   "pairs_per_s_per_chip": round(1e3 / ms, 2)})
 
+        def ifrnet_b8():
+            # Batch-optimal throughput point (VERDICT r3 #3: report MFU at
+            # the throughput config, not only b=1 latency).
+            cfg = Config(model_name="IFRNet", compute_dtype="bfloat16")
+            sec, _ = measure_model(cfg, 256, 448, B=8, n_hi=9)
+            secs["ifrnet_b8"] = sec
+            emit({"metric": "ifrnet_throughput_448x256_b8_pairs_per_s",
+                  "value": round(8.0 / sec, 1), "unit": "pairs/s",
+                  "vs_baseline": None,
+                  "ms_per_batch": round(sec * 1e3, 3)})
+
         def mfu():
-            for key, cfg_arg, (H, W) in (
+            for key, cfg_arg, (H, W), B in (
                 ("dat_fast", str(_REPO / "configs" / "DAT_fast.yaml"),
-                 (256, 448)),
-                ("ifrnet", "IFRNet", (256, 448)),
+                 (256, 448), 1),
+                ("ifrnet", "IFRNet", (256, 448), 1),
+                ("ifrnet_b8", "IFRNet", (256, 448), 8),
+                ("dat_fast_720p",
+                 str(_REPO / "configs" / "DAT_fast.yaml"), (720, 1280), 1),
             ):
                 if key not in secs:
                     continue
-                fl = _flops(cfg_arg, H, W)
+                fl = _flops(cfg_arg, H, W, B)
                 val = fl / secs[key] / PEAK_BF16_FLOPS
-                emit({"metric": f"mfu_{key}_448x256",
+                emit({"metric": f"mfu_{key}_{H}x{W}" + (f"_b{B}" if B > 1
+                                                        else ""),
                       "value": round(val, 4), "unit": "fraction",
-                      "flops_per_frame_g": round(fl / 1e9, 2),
+                      "flops_per_batch_g": round(fl / 1e9, 2),
                       "peak_bf16_tflops": PEAK_BF16_FLOPS / 1e12})
 
         for name, fn in (("ifrnet", ifrnet),
+                         ("ifrnet_b8", ifrnet_b8),
                          ("dat_fast_720p", dat_fast_720p),
                          ("dat_exact", dat_exact),
                          ("mfu", mfu)):
