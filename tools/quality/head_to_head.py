@@ -19,6 +19,7 @@ Reference bar this replaces: validation-as-test on Vimeo90K
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 from pathlib import Path
@@ -69,6 +70,14 @@ def main():
                          "TrainState restored, data sampler fast-forwarded "
                          "so the batch stream is byte-identical to an "
                          "uninterrupted run)")
+    ap.add_argument("--distill_from", default=None,
+                    help="path to an exact-parity flagship .ckpt (msgpack "
+                         "TrainState from this tool); adds output-space "
+                         "teacher distillation w*Charbonnier(pred_s - "
+                         "pred_t) to the recipe — the VERDICT r3 #1b "
+                         "recovery attempt for DAT_fast's ~0.3 dB gap. "
+                         "Train-time-only cost; inference untouched")
+    ap.add_argument("--distill_w", type=float, default=0.5)
     ap.add_argument("--host_pool", action="store_true",
                     help="stream batches from host RAM (legacy); default "
                          "device_puts the whole pool into HBM once and "
@@ -134,6 +143,7 @@ def main():
            + ("_mv" + "-".join(map(str, movement_nf)) if movement_nf else "")
            + (f"_dec{args.dec_res_blocks}" if args.dec_res_blocks != 10
               else "")
+           + (f"_distill{args.distill_w}" if args.distill_from else "")
            + (f"_seed{args.seed}" if args.seed != 42 else "")
            + (f"_{args.steps // 1000}k" if args.steps != 4000 else ""))
     out_path = out_dir / f"{tag}.jsonl"
@@ -173,7 +183,85 @@ def main():
     state = create_train_state(model, params, cfg)
     if args.eval_every % args.chunk or args.steps % args.chunk:
         raise SystemExit("--chunk must divide --eval_every and --steps")
-    if args.host_pool:
+    teacher_params = None
+    if args.distill_from:
+        # Teacher = exact-parity architecture (reference samples, per-group
+        # offsets); restore params from a head_to_head checkpoint.
+        import flax.serialization as _fser
+
+        t_cfg = Config(model_name=args.model, nf=args.nf,
+                       compute_dtype="bfloat16",
+                       start_lr=2e-4, end_lr=1e-5,
+                       last_lr_decay_iter=args.steps,
+                       warmup_steps=args.warmup, seed=args.seed)
+        teacher = create_model(t_cfg)
+        t_params = teacher.init(
+            jax.random.key(0),
+            jnp.asarray(pool["x0"][:1]), jnp.asarray(pool["x1"][:1]),
+            jnp.asarray(pool["t"][:1]), train=True)
+        t_state = create_train_state(teacher, t_params, t_cfg)
+        t_state = _fser.from_bytes(t_state,
+                                   Path(args.distill_from).read_bytes())
+        teacher_params = jax.device_put(t_state.params)
+        print(f"teacher restored from {args.distill_from} "
+              f"(step {int(t_state.step)})", flush=True)
+
+        from videoframeinterpolation_tpu.models.dat import dat_loss
+        from videoframeinterpolation_tpu.ops.losses import charbonnier_l1
+        from videoframeinterpolation_tpu.parallel.mesh import DATA_AXIS
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        w_t = args.distill_w
+
+        def distill_loss_fn(params, tparams, batch):
+            pred, inter = model.apply(
+                params, batch["x0"], batch["x1"], batch["t"], train=True)
+            total, log = dat_loss(pred, inter, batch, cfg.distill_lambda)
+            t_pred = jax.lax.stop_gradient(
+                teacher.apply(tparams, batch["x0"], batch["x1"],
+                              batch["t"]))
+            t_loss = w_t * charbonnier_l1(pred - t_pred)
+            total = total + t_loss
+            log = dict(log)
+            log["teacher_loss"] = t_loss
+            log["total_loss"] = total
+            return total, log
+
+        data_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+        def one_step(carry, idx, pool_d):
+            state, tparams = carry
+            batch = jax.tree_util.tree_map(lambda p: p[idx], pool_d)
+            batch = jax.lax.with_sharding_constraint(
+                batch, jax.tree_util.tree_map(lambda _: data_sh, batch))
+            (loss, log), grads = jax.value_and_grad(
+                distill_loss_fn, has_aux=True)(state.params, tparams, batch)
+            return (state.apply_gradients(grads=grads), tparams), log
+
+        from videoframeinterpolation_tpu.parallel import (
+            replicated_sharding,
+        )
+
+        repl = replicated_sharding(mesh)
+
+        @functools.partial(
+            jax.jit,
+            in_shardings=(repl, repl, repl, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+        def distill_chunked(state, tparams, pool_d, idx):
+            (state, _), logs = jax.lax.scan(
+                lambda c, i: one_step(c, i, pool_d), (state, tparams),
+                idx, length=args.chunk)
+            return state, logs
+
+        pool_dev = jax.device_put(pool)
+
+        def step_fn(state, pool_d, idx):
+            return distill_chunked(state, teacher_params, pool_d, idx)
+
+    elif args.host_pool:
         step_fn = make_chunked_train_step(model, cfg, mesh, args.chunk)
         pool_dev = None
     else:
