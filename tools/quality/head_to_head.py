@@ -318,10 +318,13 @@ def main():
               "batch": args.batch, "crop": args.crop, "pool": args.pool,
               "chunk": args.chunk})
 
-    def save_ckpt(state):
-        tmp = ckpt_path.with_suffix(".ckpt.tmp")
+    def save_ckpt(state, path=ckpt_path):
+        tmp = path.with_suffix(".ckpt.tmp")
         tmp.write_bytes(fser.to_bytes(jax.device_get(state)))
-        tmp.rename(ckpt_path)
+        tmp.rename(path)
+
+    best_path = out_dir / f"{tag}.best.ckpt"
+    best_psnr = -1.0
 
     t_start = time.perf_counter()
     loss_acc, n_acc = 0.0, 0
@@ -350,6 +353,12 @@ def main():
                   "elapsed_s": round(time.perf_counter() - t_start, 1)})
             loss_acc, n_acc = 0.0, 0
             save_ckpt(state)
+            if p > best_psnr:
+                # Best-PSNR snapshot: the distillation teacher should be
+                # the best model along the curve, not the last step
+                # (round-3 exact arm peaked at 12k of 18k).
+                best_psnr = p
+                save_ckpt(state, best_path)
 
     final = held_out_psnr(state.params)
     emit({"event": "final", "step": step, "val_psnr": round(final, 4),
