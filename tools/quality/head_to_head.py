@@ -19,7 +19,6 @@ Reference bar this replaces: validation-as-test on Vimeo90K
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import time
 from pathlib import Path
@@ -206,56 +205,12 @@ def main():
         print(f"teacher restored from {args.distill_from} "
               f"(step {int(t_state.step)})", flush=True)
 
-        from videoframeinterpolation_tpu.models.dat import dat_loss
-        from videoframeinterpolation_tpu.ops.losses import charbonnier_l1
-        from videoframeinterpolation_tpu.parallel.mesh import DATA_AXIS
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        w_t = args.distill_w
-
-        def distill_loss_fn(params, tparams, batch):
-            pred, inter = model.apply(
-                params, batch["x0"], batch["x1"], batch["t"], train=True)
-            total, log = dat_loss(pred, inter, batch, cfg.distill_lambda)
-            t_pred = jax.lax.stop_gradient(
-                teacher.apply(tparams, batch["x0"], batch["x1"],
-                              batch["t"]))
-            t_loss = w_t * charbonnier_l1(pred - t_pred)
-            total = total + t_loss
-            log = dict(log)
-            log["teacher_loss"] = t_loss
-            log["total_loss"] = total
-            return total, log
-
-        data_sh = NamedSharding(mesh, P(DATA_AXIS))
-
-        def one_step(carry, idx, pool_d):
-            state, tparams = carry
-            batch = jax.tree_util.tree_map(lambda p: p[idx], pool_d)
-            batch = jax.lax.with_sharding_constraint(
-                batch, jax.tree_util.tree_map(lambda _: data_sh, batch))
-            (loss, log), grads = jax.value_and_grad(
-                distill_loss_fn, has_aux=True)(state.params, tparams, batch)
-            return (state.apply_gradients(grads=grads), tparams), log
-
-        from videoframeinterpolation_tpu.parallel import (
-            replicated_sharding,
+        from videoframeinterpolation_tpu.train import (
+            make_distill_pool_chunked_step,
         )
 
-        repl = replicated_sharding(mesh)
-
-        @functools.partial(
-            jax.jit,
-            in_shardings=(repl, repl, repl, repl),
-            out_shardings=(repl, repl),
-            donate_argnums=(0,),
-        )
-        def distill_chunked(state, tparams, pool_d, idx):
-            (state, _), logs = jax.lax.scan(
-                lambda c, i: one_step(c, i, pool_d), (state, tparams),
-                idx, length=args.chunk)
-            return state, logs
-
+        distill_chunked = make_distill_pool_chunked_step(
+            model, teacher, cfg, mesh, args.chunk, args.distill_w)
         pool_dev = jax.device_put(pool)
 
         def step_fn(state, pool_d, idx):

@@ -260,6 +260,89 @@ def make_pool_chunked_train_step(
     )
 
 
+def make_distill_loss_fn(
+    model, teacher, cfg: Config, distill_w: float
+) -> Callable:
+    """``loss_fn(params, teacher_params, batch) -> (loss, log)`` adding
+    output-space teacher distillation to the model's own recipe.
+
+    The teacher (typically the exact-parity flagship) runs under
+    ``stop_gradient`` — train-time-only cost, inference untouched. The
+    added term is ``distill_w * Charbonnier(pred_student - pred_teacher)``,
+    the same robust penalty the reference uses for its internal
+    flow-distillation losses (``modules/losses.py:11-30``), applied in
+    output space. Recovery attempt for the fast config's ~0.3 dB
+    horizon gap (BENCH_NOTES.md round 3).
+    """
+    from ..ops.losses import charbonnier_l1
+
+    if isinstance(model, (DATwConstantnC, DATwConstantnCTPU)):
+
+        def loss_fn(params, teacher_params, batch):
+            pred, inter = model.apply(
+                params, batch["x0"], batch["x1"], batch["t"], train=True
+            )
+            total, log = dat_loss(pred, inter, batch, cfg.distill_lambda)
+            t_pred = jax.lax.stop_gradient(
+                teacher.apply(teacher_params, batch["x0"], batch["x1"],
+                              batch["t"])
+            )
+            t_loss = distill_w * charbonnier_l1(pred - t_pred)
+            total = total + t_loss
+            log = dict(log)
+            log["teacher_loss"] = t_loss
+            log["total_loss"] = total
+            return total, log
+
+        return loss_fn
+
+    raise ValueError(
+        f"no distillation recipe for model {type(model).__name__}"
+    )
+
+
+def make_distill_pool_chunked_step(
+    model, teacher, cfg: Config, mesh, chunk: int, distill_w: float
+) -> Callable:
+    """Compiled ``step(state, teacher_params, pool, idx) -> (state, logs)``.
+
+    :func:`make_pool_chunked_train_step` with a frozen teacher: ``chunk``
+    optimizer steps per dispatch over an on-device sample pool, each step
+    adding the :func:`make_distill_loss_fn` teacher term. Teacher params
+    are an ordinary (replicated, non-donated) argument, so the caller can
+    swap teachers without recompiling the student state structure.
+    """
+    loss_fn = make_distill_loss_fn(model, teacher, cfg, distill_w)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import DATA_AXIS
+
+    data = NamedSharding(mesh, P(DATA_AXIS))
+
+    def one_step(pool, tparams, state: TrainState, idx):
+        batch = jax.tree_util.tree_map(lambda p: p[idx], pool)
+        batch = jax.lax.with_sharding_constraint(
+            batch, jax.tree_util.tree_map(lambda _: data, batch)
+        )
+        (loss, log), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, tparams, batch
+        )
+        return state.apply_gradients(grads=grads), log
+
+    def chunked_step(state: TrainState, tparams, pool, idx):
+        return jax.lax.scan(
+            lambda s, i: one_step(pool, tparams, s, i), state, idx,
+            length=chunk,
+        )
+
+    repl = replicated_sharding(mesh)
+    return jax.jit(
+        chunked_step,
+        in_shardings=(repl, repl, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
 def make_inference_fn(model, mesh=None) -> Callable:
     """Compiled ``infer(params, x0, x1, t) -> pred`` (eval / serving path)."""
 
