@@ -129,6 +129,19 @@ def analyze(config_arg: str, H: int, W: int, B: int, dtype: str) -> dict:
     bw_path = RESULTS / "membw.json"
     hbm_gbps = (json.loads(bw_path.read_text())["gbps"]
                 if bw_path.exists() else DEFAULT_HBM_GBPS)
+    # Gather pricing is index-coherence-dependent (warp_gather_probe.py):
+    # smooth flow-warp gathers stream far cheaper than deformable
+    # (random-neighborhood) fetches. Without per-op index provenance in
+    # HLO, price the bucket as a [all-smooth, all-deformable] range.
+    rates_path = RESULTS / "gather_rates.json"
+    if rates_path.exists():
+        rates = json.loads(rates_path.read_text())
+        gather_ns_lo = float(rates.get("smooth_ns_per_row",
+                                       GATHER_NS_PER_ROW))
+        gather_ns_hi = float(rates.get("deform_ns_per_row",
+                                       GATHER_NS_PER_ROW))
+    else:
+        gather_ns_lo = gather_ns_hi = GATHER_NS_PER_ROW
 
     buckets = defaultdict(lambda: dict(flops=0.0, bytes=0.0, ms=0.0, n=0))
     conv_by_ch = defaultdict(lambda: dict(flops=0.0, ms=0.0, n=0))
@@ -202,10 +215,11 @@ def analyze(config_arg: str, H: int, W: int, B: int, dtype: str) -> dict:
             if sl:
                 width = _elems([int(d) for d in sl.group(1).split(",") if d])
             rows = _elems(out_dims) / max(width, 1)
-            ms = rows * GATHER_NS_PER_ROW * 1e-6
+            ms = rows * gather_ns_hi * 1e-6
             b = buckets["gather"]
             b["bytes"] += out_bytes
             b["ms"] += ms
+            b["ms_lo"] = b.get("ms_lo", 0.0) + rows * gather_ns_lo * 1e-6
             b["n"] += 1
         elif op == "dot":
             opnds = _operand_shapes(body)
@@ -232,12 +246,16 @@ def analyze(config_arg: str, H: int, W: int, B: int, dtype: str) -> dict:
     buckets["elementwise/other"]["n"] = -1  # aggregated, not per-op
 
     total_ms = sum(b["ms"] for b in buckets.values())
+    g = buckets.get("gather", {})
+    total_ms_lo = total_ms - g.get("ms", 0.0) + g.get("ms_lo", g.get("ms", 0.0))
     total_flops = sum(b["flops"] for b in buckets.values())
     return {
         "buckets": {k: dict(v) for k, v in buckets.items()},
         "conv_by_channels": {str(k): dict(v)
                              for k, v in sorted(conv_by_ch.items())},
         "predicted_ms": total_ms,
+        "predicted_ms_lo": total_ms_lo,
+        "gather_ns_per_row": [gather_ns_lo, gather_ns_hi],
         "total_flops": total_flops,
         "hbm_gbps": hbm_gbps,
         "conv_ceilings_measured": bool(ceilings),
@@ -262,8 +280,10 @@ def main():
     for k, b in sorted(r["buckets"].items(), key=lambda kv: -kv[1]["ms"]):
         print(f"{k:<20}{b['n']:>6}{b['flops']/1e9:>10.2f}"
               f"{b['bytes']/1e6:>10.1f}{b['ms']:>10.3f}")
+    lo, hi = r["predicted_ms_lo"], r["predicted_ms"]
+    rng_s = (f"{lo:.3f}..{hi:.3f}" if abs(hi - lo) > 1e-6 else f"{hi:.3f}")
     print(f"{'TOTAL pred':<36}{r['total_flops']/1e9:>10.2f}"
-          f"{r['predicted_ms']:>20.3f}")
+          f"{rng_s:>20}")
     print("\nconv by min-channel:")
     for k, b in r["conv_by_channels"].items():
         print(f"  ch={k:<5} n={b['n']:<4} {b['flops']/1e9:8.2f} GFLOP "
@@ -272,7 +292,7 @@ def main():
     if args.measured_ms is not None:
         resid = args.measured_ms - r["predicted_ms"]
         print(f"\nmeasured {args.measured_ms:.3f} ms; predicted "
-              f"{r['predicted_ms']:.3f} ms; residual {resid:+.3f} ms "
+              f"{rng_s} ms; residual vs hi {resid:+.3f} ms "
               f"(dispatch/serialization/layout)")
         r["measured_ms"] = args.measured_ms
         r["residual_ms"] = resid

@@ -74,3 +74,17 @@ else say "stage s8-8-4_24k: skip (final)"; fi
 run_stage bench 5400 env BENCH_BUDGET_S=4200 python bench.py
 
 say "queue complete"
+
+# 9. warp-gather coherence probe (added mid-round: roofline gather-rate
+#    calibration — smooth/random/deform index regimes)
+if [ ! -f "$PERF/gather_rates.json" ]; then
+  run_stage warpgather 2400 python tools/perf/warp_gather_probe.py
+else say "stage warpgather: skip (exists)"; fi
+
+say "queue complete (incl. appended stages)"
+
+# 10. membw retry at smaller size (first attempt timed out at 256 MB)
+if [ ! -f "$PERF/membw.json" ]; then
+  run_stage membw_retry 2400 python tools/perf/membw_probe.py --mb 64
+else say "stage membw_retry: skip (exists)"; fi
+say "queue fully complete"
