@@ -1,5 +1,6 @@
 """Training loop, state, schedule, and checkpointing."""
 
+from .preemption import PreemptionGuard
 from .schedule import make_schedule, warmup_cosine_lr
 from .state import TrainState, create_optimizer, create_train_state
 from .step import (
@@ -13,6 +14,7 @@ from .step import (
 )
 
 __all__ = [
+    "PreemptionGuard",
     "make_schedule",
     "warmup_cosine_lr",
     "TrainState",

@@ -28,6 +28,7 @@ from ..parallel import create_mesh, shard_batch
 from ..utils.logger import Logger
 from ..utils.flow_viz import flow_to_image
 from .checkpoint import CheckpointManager
+from .preemption import PreemptionGuard
 from .schedule import warmup_cosine_lr
 from .state import create_train_state
 from .step import make_inference_fn, make_train_step
@@ -108,14 +109,32 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
-    def train(self, profile_steps: tuple[int, int] | None = None) -> None:
+    def train(
+        self,
+        profile_steps: tuple[int, int] | None = None,
+        preemption_guard: PreemptionGuard | None = None,
+    ) -> None:
         """Run the training loop.
 
         Args:
           profile_steps: optional ``(start, stop)`` step interval captured
             with ``jax.profiler`` into ``<log_dir>/profile`` (the reference
             has no profiler integration at all, SURVEY.md section 5.1).
+          preemption_guard: SIGTERM-to-flag bridge; a default one is
+            installed when None. On preemption the loop finishes the
+            in-flight step, saves ``latest`` (full optimizer state) and
+            returns cleanly so ``--resume latest`` loses nothing
+            (SURVEY.md section 5.3; the reference has no handling at all).
         """
+        guard = preemption_guard or PreemptionGuard()
+        with guard:
+            self._train_loop(profile_steps, guard)
+
+    def _train_loop(
+        self,
+        profile_steps: tuple[int, int] | None,
+        guard: PreemptionGuard,
+    ) -> None:
         cfg = self.cfg
         Path(cfg.log_dir).mkdir(parents=True, exist_ok=True)
         cfg.save_yaml(Path(cfg.log_dir) / "config.yaml")
@@ -164,6 +183,13 @@ class Trainer:
                 if step % cfg.save_latest_freq == 0:
                     self.ckpt.save("latest", self.state,
                                    epoch=epoch, best_psnr=self.best_psnr)
+
+                if guard.preempted:
+                    self.ckpt.save("latest", self.state,
+                                   epoch=epoch, best_psnr=self.best_psnr)
+                    print(f"preemption signal: saved 'latest' at step {step} "
+                          f"(epoch {epoch}); exiting cleanly")
+                    return
                 t_data = time.time()
 
             if (epoch + 1) % cfg.save_every_freq_epoch == 0:
