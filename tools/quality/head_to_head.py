@@ -77,6 +77,12 @@ def main():
                          "recovery attempt for DAT_fast's ~0.3 dB gap. "
                          "Train-time-only cost; inference untouched")
     ap.add_argument("--distill_w", type=float, default=0.5)
+    ap.add_argument("--teacher_shared", action="store_true",
+                    help="teacher uses shared offsets (default: exact-parity"
+                    " teacher architecture)")
+    ap.add_argument("--teacher_samples", default=None,
+                    help="teacher per-level dat_samples, e.g. 8,16,8 "
+                    "(default: reference 8,16,32)")
     ap.add_argument("--host_pool", action="store_true",
                     help="stream batches from host RAM (legacy); default "
                          "device_puts the whole pool into HBM once and "
@@ -142,7 +148,10 @@ def main():
            + ("_mv" + "-".join(map(str, movement_nf)) if movement_nf else "")
            + (f"_dec{args.dec_res_blocks}" if args.dec_res_blocks != 10
               else "")
-           + (f"_distill{args.distill_w}" if args.distill_from else "")
+           + ((f"_distill{args.distill_w}"
+               + (("T" + "-".join(args.teacher_samples.split(",")))
+                  if args.teacher_samples else ""))
+              if args.distill_from else "")
            + (f"_seed{args.seed}" if args.seed != 42 else "")
            + (f"_{args.steps // 1000}k" if args.steps != 4000 else ""))
     out_path = out_dir / f"{tag}.jsonl"
@@ -184,12 +193,19 @@ def main():
         raise SystemExit("--chunk must divide --eval_every and --steps")
     teacher_params = None
     if args.distill_from:
-        # Teacher = exact-parity architecture (reference samples, per-group
-        # offsets); restore params from a head_to_head checkpoint.
+        # Teacher defaults to the exact-parity architecture (reference
+        # samples, per-group offsets); --teacher_shared/--teacher_samples
+        # match the teacher to whatever head_to_head checkpoint is given
+        # (e.g. the completed s8-16-8 horizon arm). Restore params from a
+        # head_to_head checkpoint.
         import flax.serialization as _fser
 
+        t_samples = (tuple(int(x) for x in args.teacher_samples.split(","))
+                     if args.teacher_samples else (8, 16, 32))
         t_cfg = Config(model_name=args.model, nf=args.nf,
                        compute_dtype="bfloat16",
+                       shared_offsets=bool(args.teacher_shared),
+                       dat_samples=t_samples,
                        start_lr=2e-4, end_lr=1e-5,
                        last_lr_decay_iter=args.steps,
                        warmup_steps=args.warmup, seed=args.seed)

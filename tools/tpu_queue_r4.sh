@@ -88,3 +88,11 @@ if [ ! -f "$PERF/membw.json" ]; then
   run_stage membw_retry 2400 python tools/perf/membw_probe.py --mb 64
 else say "stage membw_retry: skip (exists)"; fi
 say "queue fully complete"
+
+# 11. [8,16,8] 24k arm (appended: completes the 24k-schedule cohort with
+#     the quality-leading fast rung from the 20k study)
+if ! has_final "$RES/DATwConstantnCv1_shared_s8-16-8_24k.jsonl"; then
+  run_stage s8-16-8_24k 10800 python tools/quality/head_to_head.py \
+    --model DATwConstantnCv1 --shared --samples 8,16,8 --steps 24000 --resume
+else say "stage s8-16-8_24k: skip (final)"; fi
+say "queue fully complete v2"

@@ -32,6 +32,18 @@ class Config:
     # Losses
     distill_lambda: Optional[float] = 0.01
     geo_lambda: float = 0.01
+    # Teacher distillation (train-time only; no reference equivalent —
+    # the measured recovery recipe for the fast flagship's horizon gap,
+    # BENCH_NOTES.md round 4). ``teacher_ckpt`` is either an Orbax
+    # checkpoint directory written by ``train/checkpoint.py`` or a flax
+    # msgpack TrainState file written by ``tools/quality/head_to_head.py``.
+    # ``teacher_overrides`` are config-field overrides applied on top of
+    # THIS config to build the teacher's architecture (e.g.
+    # ``{dat_samples: [8, 16, 8]}``); the student's own recipe gains
+    # ``distill_teacher_w * Charbonnier(pred_student - pred_teacher)``.
+    teacher_ckpt: Optional[str] = None
+    teacher_overrides: Optional[dict] = None
+    distill_teacher_w: float = 0.5
 
     # Model-family specific (archive models)
     m2m_branch: int = 5                      # M2M flow hypotheses

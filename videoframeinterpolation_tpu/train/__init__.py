@@ -7,6 +7,7 @@ from .step import (
     make_chunked_train_step,
     make_distill_loss_fn,
     make_distill_pool_chunked_step,
+    make_distill_train_step,
     make_inference_fn,
     make_loss_fn,
     make_pool_chunked_train_step,
@@ -23,6 +24,7 @@ __all__ = [
     "make_chunked_train_step",
     "make_distill_loss_fn",
     "make_distill_pool_chunked_step",
+    "make_distill_train_step",
     "make_pool_chunked_train_step",
     "make_inference_fn",
     "make_loss_fn",

@@ -58,3 +58,32 @@ class CheckpointManager:
 
     def exists(self, name: str) -> bool:
         return (self.dir / name).exists() and self._meta_path(name).exists()
+
+
+def restore_teacher_params(path: str, teacher_model, teacher_params,
+                           teacher_cfg) -> Any:
+    """Restore frozen teacher parameters for distillation training.
+
+    Accepts either checkpoint format this framework writes:
+      * an Orbax checkpoint **directory** (a ``CheckpointManager`` save,
+        e.g. ``exps/<exp>/checkpoints/best_vimeo90k``);
+      * a flax msgpack TrainState **file** (a
+        ``tools/quality/head_to_head.py`` ``.ckpt`` / ``.best.ckpt``).
+
+    ``teacher_params`` is an init-shaped template (the restore target
+    structure); only the params are returned — the teacher's optimizer
+    state is discarded.
+    """
+    from .state import create_train_state
+
+    p = Path(path)
+    if not p.exists():
+        raise FileNotFoundError(f"teacher_ckpt not found: {path}")
+    state = create_train_state(teacher_model, teacher_params, teacher_cfg)
+    if p.is_dir():
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": state.params, "opt_state": state.opt_state}
+        return ckptr.restore(p.absolute(), target)["params"]
+    import flax.serialization as fser
+
+    return fser.from_bytes(state, p.read_bytes()).params

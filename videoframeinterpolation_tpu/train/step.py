@@ -301,6 +301,31 @@ def make_distill_loss_fn(
     )
 
 
+def make_distill_train_step(
+    model, teacher, cfg: Config, mesh, distill_w: float
+) -> Callable:
+    """Compiled ``train_step(state, teacher_params, batch)`` — the
+    production (``Trainer``) counterpart of :func:`make_train_step` with
+    the :func:`make_distill_loss_fn` teacher term. Teacher params are a
+    replicated, non-donated argument (frozen; never updated)."""
+    loss_fn = make_distill_loss_fn(model, teacher, cfg, distill_w)
+
+    def train_step(state: TrainState, teacher_params, batch):
+        (loss, log), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, teacher_params, batch
+        )
+        return state.apply_gradients(grads=grads), log
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
 def make_distill_pool_chunked_step(
     model, teacher, cfg: Config, mesh, chunk: int, distill_w: float
 ) -> Callable:

@@ -27,11 +27,11 @@ from ..models import create_model
 from ..parallel import create_mesh, shard_batch
 from ..utils.logger import Logger
 from ..utils.flow_viz import flow_to_image
-from .checkpoint import CheckpointManager
+from .checkpoint import CheckpointManager, restore_teacher_params
 from .preemption import PreemptionGuard
 from .schedule import warmup_cosine_lr
 from .state import create_train_state
-from .step import make_inference_fn, make_train_step
+from .step import make_distill_train_step, make_inference_fn, make_train_step
 
 
 def _build_dataset(cfg: Config, is_train: bool = True):
@@ -61,7 +61,31 @@ class Trainer:
             int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params)
         )
 
-        self.train_step = make_train_step(self.model, cfg, self.mesh)
+        if cfg.teacher_ckpt:
+            # Teacher distillation (BENCH_NOTES.md round 4): build the
+            # frozen teacher from this config plus ``teacher_overrides``,
+            # restore its params, and train the student with the extra
+            # output-space Charbonnier term. Train-time only — inference
+            # and checkpoints are the plain student.
+            import dataclasses as _dc
+
+            t_cfg = (_dc.replace(cfg, **cfg.teacher_overrides)
+                     if cfg.teacher_overrides else cfg)
+            self.teacher = create_model(t_cfg)
+            t_template = self.teacher.init(rng, dummy, dummy, t, train=True)
+            self.teacher_params = restore_teacher_params(
+                cfg.teacher_ckpt, self.teacher, t_template, t_cfg)
+            self.teacher_params = jax.device_put(self.teacher_params)
+            base_step = make_distill_train_step(
+                self.model, self.teacher, cfg, self.mesh,
+                cfg.distill_teacher_w)
+            self.train_step = (
+                lambda state, batch: base_step(
+                    state, self.teacher_params, batch))
+        else:
+            self.teacher = None
+            self.teacher_params = None
+            self.train_step = make_train_step(self.model, cfg, self.mesh)
         self.infer = None  # built lazily with params bound at call time
         self._infer_train = None  # train=True forward for image summaries
 
