@@ -342,26 +342,46 @@ def test_ifrnet_train_step_gradient_parity(monkeypatch):
     sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
     params = ifrnet_params_from_state_dict(sd)
 
+    # Local deterministic rng: the module-level RNG's state depends on
+    # which tests ran before this one, and the flip-noise floor below is
+    # input-dependent — the test must see the same draw in every run
+    # configuration (-k selection, -x ordering, full file).
+    rng = np.random.default_rng(1701)
     B, H, W = 2, 48, 64
-    x0 = RNG.random((B, 3, H, W), np.float32)
-    x1 = RNG.random((B, 3, H, W), np.float32)
-    xt = RNG.random((B, 3, H, W), np.float32)
+    x0 = rng.random((B, 3, H, W), np.float32)
+    x1 = rng.random((B, 3, H, W), np.float32)
+    xt = rng.random((B, 3, H, W), np.float32)
     t = np.full((B, 1), 0.5, np.float32)
-    f01 = (2.0 * RNG.standard_normal((B, 2, H, W))).astype(np.float32)
-    f10 = (2.0 * RNG.standard_normal((B, 2, H, W))).astype(np.float32)
+    f01 = (2.0 * rng.standard_normal((B, 2, H, W))).astype(np.float32)
+    f10 = (2.0 * rng.standard_normal((B, 2, H, W))).astype(np.float32)
 
-    net.zero_grad()
-    _, total_t, log_t = net({
-        "x0": torch.from_numpy(x0 * 255.0),
-        "x1": torch.from_numpy(x1 * 255.0),
-        "xt": torch.from_numpy(xt * 255.0),
-        "t": torch.from_numpy(t),
-        "f01": torch.from_numpy(f01), "f10": torch.from_numpy(f10),
-    })
-    total_t.backward()
-    grad_sd = {k: p.grad.detach().numpy()
-               for k, p in net.named_parameters()}
-    grads_t = ifrnet_params_from_state_dict(grad_sd)
+    def torch_grads(tdtype):
+        """total, log, layout-converted grads at dtype ``tdtype`` (the f32
+        pass checks loss VALUES at the production dtype; the f64 pass is
+        the round-off-free gradient ground truth)."""
+        net.to(tdtype).zero_grad()
+        for m in net.modules():
+            # Ternary/Geometry census kernels are plain attributes, not
+            # registered buffers (modules/losses.py:24,57), so .to()
+            # misses them.
+            if torch.is_tensor(getattr(m, "w", None)):
+                m.w = m.w.to(tdtype)
+        _, total, log = net({
+            "x0": torch.from_numpy(x0 * 255.0).to(tdtype),
+            "x1": torch.from_numpy(x1 * 255.0).to(tdtype),
+            "xt": torch.from_numpy(xt * 255.0).to(tdtype),
+            "t": torch.from_numpy(t).to(tdtype),
+            "f01": torch.from_numpy(f01).to(tdtype),
+            "f10": torch.from_numpy(f10).to(tdtype),
+        })
+        total.backward()
+        grad_sd = {k: p.grad.detach().to(torch.float64).numpy()
+                   for k, p in net.named_parameters()}
+        return total, log, ifrnet_params_from_state_dict(grad_sd)
+
+    total_t, log_t, _ = torch_grads(torch.float32)
+    total_t = total_t.detach()
+    _, _, grads_t64 = torch_grads(torch.float64)
 
     from videoframeinterpolation_tpu.config import Config
     from videoframeinterpolation_tpu.models.ifrnet import IFRNet
@@ -386,15 +406,47 @@ def test_ifrnet_train_step_gradient_parity(monkeypatch):
             _close(float(log_j[key]), log_t[key], rtol=1e-3, atol=1e-5,
                    label=key)
 
-    flat_t = jax.tree_util.tree_leaves_with_path(grads_t)
-    flat_j = dict(jax.tree_util.tree_leaves_with_path(grads_j["params"]))
-    assert len(flat_t) == len(flat_j) and len(flat_t) > 50
+    # Gradients are compared at f64-vs-f64, where parity must be TIGHT.
+    # At f32 the comparison is structurally noisy: the loss backprops
+    # through bilinear-warp floor() cells on PREDICTED flows, and jax/
+    # torch f32 round-off flips different cells (different op order), so
+    # jax-f32 grads deviate from the f64 ground truth by an input-
+    # dependent 3e-3..5e-3 rel-L2 even when semantics match exactly —
+    # indistinguishable from a small real bug. At f64 flips vanish
+    # (round-off ~1e-16 never crosses a cell boundary) and any census-
+    # padding / detach / resize-gradient mismatch survives undiluted
+    # (such bugs measure 1e-2..1 rel-L2). Measured f64-vs-f64 residual on
+    # this draw: max 2.5e-5 rel-L2 (a stray f32-rounded constant, e.g.
+    # grid coordinates, in one of the stacks) — the 2e-4 bound keeps
+    # ~100x discrimination headroom below semantic-bug magnitudes.
+    # The jax f64 pass patches the models' hardcoded `jnp.float32` casts
+    # (call-time attribute lookups; monkeypatch restores them) and
+    # toggles x64 around the trace.
+    monkeypatch.setattr(jnp, "float32", jnp.float64)
+    try:
+        jax.config.update("jax_enable_x64", True)
+
+        def to64(tree):
+            return jax.tree_util.tree_map(
+                lambda a: jnp.asarray(np.asarray(a), jnp.float64), tree)
+
+        batch64 = to64(batch)
+        (total_j64, _), grads_j64 = jax.value_and_grad(
+            loss_fn, has_aux=True)({"params": to64(params)}, batch64)
+        assert np.asarray(total_j64).dtype == np.float64
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    flat_t64 = jax.tree_util.tree_leaves_with_path(grads_t64)
+    flat_j64 = dict(jax.tree_util.tree_leaves_with_path(grads_j64["params"]))
+    assert len(flat_t64) == len(flat_j64) and len(flat_t64) > 50
     bad = []
-    for path, gt_leaf in flat_t:
-        gj_leaf = np.asarray(flat_j[path])
-        gt_leaf = np.asarray(gt_leaf)
-        scale = np.abs(gt_leaf).max() + 1e-8
-        rel = np.abs(gj_leaf - gt_leaf).max() / scale
-        if rel > 2e-3:
-            bad.append((jax.tree_util.keystr(path), float(rel)))
-    assert not bad, f"gradient mismatches: {sorted(bad, key=lambda kv: -kv[1])[:10]}"
+    for path, gt64 in flat_t64:
+        gt64 = np.asarray(gt64)
+        err = (np.linalg.norm(np.asarray(flat_j64[path], np.float64) - gt64)
+               / (np.linalg.norm(gt64) + 1e-300))
+        if err > 2e-4:
+            bad.append((jax.tree_util.keystr(path), float(err)))
+    assert not bad, (
+        f"f64 gradient rel-L2 mismatches: "
+        f"{sorted(bad, key=lambda kv: -kv[1])[:10]}")
