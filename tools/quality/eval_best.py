@@ -39,7 +39,10 @@ from head_to_head import build_pool  # noqa: E402  (same dir)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--ckpt", required=True, nargs="+",
+                    help="one or more same-architecture checkpoints "
+                         "(scored in one process to share the 3-5 min "
+                         "remote compile)")
     ap.add_argument("--model", default="DATwConstantnCv1")
     ap.add_argument("--nf", type=int, default=72)
     ap.add_argument("--shared", action="store_true")
@@ -75,9 +78,7 @@ def main():
     params = model.init(jax.random.key(cfg.seed),
                         jnp.asarray(val["x0"][:1]), jnp.asarray(val["x1"][:1]),
                         jnp.asarray(val["t"][:1]), train=True)
-    state = create_train_state(model, params, cfg)
-    state = fser.from_bytes(state, Path(args.ckpt).read_bytes())
-    step = int(state.step)
+    template = create_train_state(model, params, cfg)
 
     # fp32 eval path (framework convention: params fp32, eval compute fp32).
     eval_cfg = Config(model_name=args.model, nf=args.nf,
@@ -86,30 +87,34 @@ def main():
     eval_model = create_model(eval_cfg)
     infer = jax.jit(lambda p, a, b, t: eval_model.apply(p, a, b, t))
 
-    # Identical protocol to head_to_head.held_out_psnr (no clipping, same
-    # per-item mean) so PSNRs here reproduce the study curves exactly;
-    # SSIM follows the same convention.
-    vx0, vx1, vt = (jnp.asarray(val[k]) for k in ("x0", "x1", "t"))
-    ps, ss = [], []
-    eb = 8
-    for i in range(0, vx0.shape[0], eb):
-        pred = infer(state.params, vx0[i:i + eb], vx1[i:i + eb], vt[i:i + eb])
-        gt = jnp.asarray(val["xt"][i:i + eb])
-        for j in range(pred.shape[0]):
-            ps.append(float(psnr(pred[j], gt[j])))
-            ss.append(float(ssim_3d(pred[j:j + 1], gt[j:j + 1],
-                                    val_range=1.0)))
-    rec = {
-        "ckpt": str(args.ckpt), "step": step,
-        "psnr": round(float(np.mean(ps)), 4),
-        "ssim": round(float(np.mean(ss)), 5),
-        "n": len(ps), "crop": args.crop, "seed": args.seed,
-    }
-    print(json.dumps(rec), flush=True)
     out = Path(args.out) if args.out else (
         Path(__file__).parent / "results" / "eval_best.jsonl")
-    with out.open("a") as f:
-        f.write(json.dumps(rec) + "\n")
+    vx0, vx1, vt = (jnp.asarray(val[k]) for k in ("x0", "x1", "t"))
+
+    for ckpt in args.ckpt:
+        state = fser.from_bytes(template, Path(ckpt).read_bytes())
+        # Identical protocol to head_to_head.held_out_psnr (no clipping,
+        # same per-item mean) so PSNRs here reproduce the study curves
+        # exactly; SSIM follows the same convention.
+        ps, ss = [], []
+        eb = 8
+        for i in range(0, vx0.shape[0], eb):
+            pred = infer(state.params, vx0[i:i + eb], vx1[i:i + eb],
+                         vt[i:i + eb])
+            gt = jnp.asarray(val["xt"][i:i + eb])
+            for j in range(pred.shape[0]):
+                ps.append(float(psnr(pred[j], gt[j])))
+                ss.append(float(ssim_3d(pred[j:j + 1], gt[j:j + 1],
+                                        val_range=1.0)))
+        rec = {
+            "ckpt": str(ckpt), "step": int(state.step),
+            "psnr": round(float(np.mean(ps)), 4),
+            "ssim": round(float(np.mean(ss)), 5),
+            "n": len(ps), "crop": args.crop, "seed": args.seed,
+        }
+        print(json.dumps(rec), flush=True)
+        with out.open("a") as f:
+            f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":
