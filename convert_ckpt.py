@@ -12,17 +12,20 @@ a TPU-trained model can be evaluated by the reference's
   # TPU-trained checkpoint -> reference-loadable .pth
   python convert_ckpt.py to-torch --config configs/DAT.yaml \
       --ckpt exps/my_exp/checkpoints/best_vimeo90k --out dat_tpu.pth
-  python convert_ckpt.py to-torch --config configs/DAT.yaml \
-      --ckpt tools/quality/results/DATwConstantnCv1_24k.best.ckpt \
-      --out dat_tpu.pth
 
   # reference .pth -> an exps/<name> Orbax checkpoint evaluate.py can use
   python convert_ckpt.py from-torch --config configs/DAT.yaml \
       --pth /path/to/reference.pth --exp_name imported
 
 Supported architectures: ``IFRNet`` and the exact-parity flagship
-``DATwConstantnCv1`` (``configs/DAT.yaml`` — no shared offsets,
-reference sample counts), matching the interop library's scope.
+``DATwConstantnCv1`` (no shared offsets, reference sample counts),
+matching the interop library's scope. Flagship offset-unit semantics:
+importing forces ``dat_ref_offset_units: true`` on the created exp (the
+proven-parity evaluation path for reference weights), and exporting
+REQUIRES a checkpoint trained with ``dat_ref_offset_units: true`` — the
+reference sampler rescales offset+flow jointly on x
+(``modules/deformable_attn.py:94-95``), so symmetric-units weights have
+no faithful torch representation.
 """
 
 from __future__ import annotations
@@ -44,7 +47,7 @@ def _build(cfg):
     return model, params
 
 
-def _check_exportable(cfg) -> str:
+def _check_exportable(cfg, *, to_torch: bool) -> str:
     """Return the interop family key, raising for unsupported variants."""
     name = cfg.model_name
     if "IFRNet" in name:
@@ -52,15 +55,31 @@ def _check_exportable(cfg) -> str:
     if "DAT" in name:
         if getattr(cfg, "shared_offsets", False):
             raise SystemExit(
-                "to-torch: shared_offsets variants (configs/DAT_fast*.yaml) "
+                "shared_offsets variants (configs/DAT_fast*.yaml) "
                 "have no reference counterpart module — only the "
-                "exact-parity flagship (configs/DAT.yaml) is exportable.")
+                "exact-parity flagship (configs/DAT.yaml) is convertible.")
         if tuple(getattr(cfg, "dat_samples", (8, 16, 32))) != (8, 16, 32):
             raise SystemExit(
-                "to-torch: non-reference dat_samples have no torch-side "
-                "architecture; export requires configs/DAT.yaml semantics.")
+                "non-reference dat_samples have no torch-side "
+                "architecture; conversion requires configs/DAT.yaml "
+                "semantics.")
+        if to_torch and not getattr(cfg, "dat_ref_offset_units", False):
+            # The reference sampler scales the WHOLE sampling displacement
+            # (offset residual + flow) by [0.25, 1] on x
+            # (modules/deformable_attn.py:94-95), so a checkpoint trained
+            # in this framework's symmetric pixel units would need
+            # res'_x = 4*res_x + 3*flow_x — input-dependent, not a weight
+            # transform. Only ref-units-trained checkpoints export
+            # faithfully.
+            raise SystemExit(
+                "to-torch: this checkpoint was trained with symmetric "
+                "offset units (dat_ref_offset_units: false), which the "
+                "reference's asymmetric sampler cannot reproduce — the "
+                "unit change rescales offset+flow jointly, so no weight "
+                "transform exists. Train with dat_ref_offset_units: true "
+                "for a torch-exportable flagship.")
         return "dat"
-    raise SystemExit(f"to-torch: no exporter for model {name!r} "
+    raise SystemExit(f"no converter for model {name!r} "
                      "(supported: IFRNet, DATwConstantnCv1)")
 
 
@@ -77,7 +96,7 @@ def cmd_to_torch(args) -> None:
     )
 
     cfg = Config.from_yaml(args.config, exp_name="convert")
-    family = _check_exportable(cfg)
+    family = _check_exportable(cfg, to_torch=True)
     model, template = _build(cfg)
     params = restore_teacher_params(args.ckpt, model, template, cfg)
     inner = params["params"] if "params" in params else params
@@ -104,7 +123,14 @@ def cmd_from_torch(args) -> None:
     from videoframeinterpolation_tpu.train.state import create_train_state
 
     cfg = Config.from_yaml(args.config, exp_name=args.exp_name)
-    family = _check_exportable(cfg)
+    family = _check_exportable(cfg, to_torch=False)
+    if family == "dat" and not cfg.dat_ref_offset_units:
+        # Reference weights carry the reference's offset semantics; the
+        # imported exp must evaluate with the quirk emulated (this is the
+        # proven-parity path, tests/test_reference_parity.py:289-320).
+        print("note: forcing dat_ref_offset_units: true on the imported "
+              "exp (reference sampler semantics)")
+        cfg.dat_ref_offset_units = True
     raw = torch.load(args.pth, map_location="cpu", weights_only=True)
     sd = raw.get("model", raw) if isinstance(raw, dict) else raw
     sd = {k: v.numpy() for k, v in sd.items()}
