@@ -69,20 +69,30 @@ PEAK_BF16_FLOPS = 197e12    # TPU v5e (v5 lite) bf16 peak per chip
 _REPO = Path(__file__).resolve().parent
 
 
-def time_loop(forward, args, n_lo: int = 1, n_hi: int = 17, reps: int = 3):
+def time_loop(forward, args, n_lo: int = 1, n_hi: int = 17, reps: int = 3,
+              chain: int = 1):
     """Marginal per-iteration device time of ``forward(*args)``.
 
-    ``forward``'s first argument is chained through iterations with an
-    epsilon perturbation so the loop cannot be collapsed. The trip count
-    is a traced scalar: one compile serves both N values.
+    ``forward``'s first ``chain`` data arguments (after ``params``) are
+    chained through iterations with an epsilon perturbation so the loop
+    cannot be collapsed. The trip count is a traced scalar: one compile
+    serves both N values.
+
+    ``chain`` matters: XLA's while-loop invariant code motion hoists any
+    computation that depends only on un-chained operands OUT of the timed
+    loop (verified on this stack: a ``conv(x1)`` term moves to ENTRY when
+    only ``x0`` is chained). Model timings must chain BOTH frames
+    (``chain=2``) or the x1 encoder pyramid rides free and per-pair
+    latency is under-reported; single-operand op probes use ``chain=1``.
     """
 
     @jax.jit
-    def f(n, params, x0, *rest):
-        def body(i, c):
-            out = forward(params, c, *rest)
-            return c + 1e-12 * out
-        return jnp.sum(jax.lax.fori_loop(0, n, body, x0))
+    def f(n, params, *data):
+        def body(i, cs):
+            out = forward(params, *cs, *data[chain:])
+            return tuple(c + 1e-12 * out for c in cs)
+        final = jax.lax.fori_loop(0, n, body, tuple(data[:chain]))
+        return sum(jnp.sum(c) for c in final)
 
     results = []
     for n in (n_lo, n_hi):
@@ -113,7 +123,9 @@ def measure_model(cfg, H: int, W: int, B: int = 1, n_hi: int = 17):
     def forward(params, x0, x1, t):
         return model.apply(params, x0, x1, t)
 
-    sec = time_loop(forward, (params, x0, x1, t), n_hi=n_hi)
+    # chain=2: both frames must flow through the loop carry, or XLA hoists
+    # the x1 encoder out of the timed loop (see time_loop docstring).
+    sec = time_loop(forward, (params, x0, x1, t), n_hi=n_hi, chain=2)
     return float(sec), n_params
 
 
