@@ -2,7 +2,10 @@
 
 Capabilities beyond the reference's eval scripts:
   * arbitrary interpolation instant ``--t`` (the models are t-conditioned);
-  * recursive ``--factor N`` frame-rate upsampling of an image sequence;
+  * ``--factor N`` frame-rate upsampling of an image sequence — recursive
+    (t=0.5 halving levels) or ``--mode direct``: every intermediate
+    instant from the original pair in ONE device dispatch, encoder shared
+    across instants (staged encode/decode models; any integer factor);
   * spatially-tiled inference for HD/4K inputs (``--tile``).
 
 Usage:
@@ -57,14 +60,15 @@ def _load_model(args):
         # Flow-aware tiling: overlap/trim sized per pair from the model's
         # own low-res flow estimate (VERDICT round-2 gap #3). Small frames
         # route to the full-frame program automatically.
-        return make_flow_aware_tiled(
+        infer = make_flow_aware_tiled(
             apply_fn, params, args.tile,
             train_apply_fn=lambda p, a, b, tt, train: model.apply(
                 p, a, b, tt, train=train),
         )
+        return infer, model, params
 
     infer_jit = jax.jit(apply_fn)
-    return lambda x0, x1, t: infer_jit(params, x0, x1, t)
+    return (lambda x0, x1, t: infer_jit(params, x0, x1, t)), model, params
 
 
 def _interp_pair(infer, img0, img1, t_val):
@@ -82,6 +86,24 @@ def _interp_pair(infer, img0, img1, t_val):
     return (np.clip(np.asarray(pred[0]), 0, 1) * 255).astype(np.uint8)
 
 
+def _interp_pair_direct(multi_infer, img0, img1):
+    """All of a pair's intermediate frames from one device dispatch."""
+    import jax.numpy as jnp
+
+    from videoframeinterpolation_tpu.data import InputPadder
+
+    x0 = jnp.asarray(img0.astype(np.float32) / 255.0)[None]
+    x1 = jnp.asarray(img1.astype(np.float32) / 255.0)[None]
+    padder = InputPadder(x0.shape, divisor=16)
+    x0p, x1p = padder.pad(x0, x1)
+    preds = np.asarray(multi_infer(x0p, x1p))  # (n_mid, 1, Hp, Wp, 3)
+    out = []
+    for k in range(preds.shape[0]):
+        pred = padder.unpad(preds[k])
+        out.append((np.clip(np.asarray(pred[0]), 0, 1) * 255).astype(np.uint8))
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description="TPU-native VFI inference")
     parser.add_argument("--config", required=True)
@@ -94,7 +116,17 @@ def main() -> None:
     parser.add_argument("--in_dir", help="sequence mode: input frame dir")
     parser.add_argument("--out_dir", help="sequence mode: output dir")
     parser.add_argument("--factor", type=int, default=2,
-                        help="sequence mode: frame-rate multiplier (pow 2)")
+                        help="sequence mode: frame-rate multiplier "
+                             "(recursive mode: power of 2; direct: any)")
+    parser.add_argument("--mode", choices=["recursive", "direct"],
+                        default="recursive",
+                        help="sequence upsampling strategy. recursive: "
+                        "t=0.5 halving levels (later levels interpolate "
+                        "generated frames). direct: all factor-1 instants "
+                        "from the ORIGINAL pair in ONE device dispatch — "
+                        "the t-invariant encoder runs once per pair (no "
+                        "error compounding; needs a staged encode/decode "
+                        "model, e.g. the DAT flagship)")
     parser.add_argument("--window_sampling", action="store_true",
                         help="exact-parity windowed sampling fast path "
                         "(same params -- any flagship checkpoint works)")
@@ -102,23 +134,53 @@ def main() -> None:
                         help="spatial tile size for HD/4K inputs (0 = off)")
     args = parser.parse_args()
 
+    # cheap argument validation before the (slow) model load
+    if args.in_dir:
+        if args.mode == "direct" and args.tile:
+            raise SystemExit("--mode direct does not combine with --tile "
+                             "yet; use --mode recursive")
+        if args.mode == "recursive" and args.factor & (args.factor - 1):
+            raise SystemExit("--mode recursive needs a power-of-2 --factor; "
+                             f"use --mode direct for factor {args.factor}")
+
     import imageio.v2 as imageio
 
-    infer = _load_model(args)
+    infer, model, params = _load_model(args)
 
     if args.in_dir:
         frames = sorted(Path(args.in_dir).iterdir())
         out_dir = Path(args.out_dir or "interp_out")
         out_dir.mkdir(parents=True, exist_ok=True)
         seq = [imageio.imread(f) for f in frames]
-        levels = int(np.log2(args.factor))
-        for _ in range(levels):
+        if args.mode == "direct":
+            if not hasattr(model, "encode"):
+                raise SystemExit(
+                    f"--mode direct needs a staged encode/decode model; "
+                    f"{type(model).__name__} has none — use "
+                    f"--mode recursive")
+            import jax
+
+            from videoframeinterpolation_tpu.models import multi_t_apply
+
+            ts = tuple((i + 1) / args.factor for i in range(args.factor - 1))
+            multi_jit = jax.jit(
+                lambda p, a, b: multi_t_apply(model, p, a, b, ts))
             out = []
             for a, b in zip(seq[:-1], seq[1:]):
                 out.append(a)
-                out.append(_interp_pair(infer, a, b, 0.5))
+                out.extend(_interp_pair_direct(
+                    lambda x0, x1: multi_jit(params, x0, x1), a, b))
             out.append(seq[-1])
             seq = out
+        else:
+            levels = int(np.log2(args.factor))
+            for _ in range(levels):
+                out = []
+                for a, b in zip(seq[:-1], seq[1:]):
+                    out.append(a)
+                    out.append(_interp_pair(infer, a, b, 0.5))
+                out.append(seq[-1])
+                seq = out
         for i, fr in enumerate(seq):
             imageio.imwrite(out_dir / f"{i:06d}.png", fr)
         print(f"wrote {len(seq)} frames to {out_dir}")

@@ -27,6 +27,7 @@ from .gmbase import (
 )
 from .dat_tpu import DATwConstantnCTPU
 from . import base
+from .base import multi_t_apply
 
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": None}
 
@@ -131,6 +132,7 @@ __all__ = [
     "GMVFIFormer",
     "RAFTRefine",
     "DATwConstantnCTPU",
+    "multi_t_apply",
     "dat_loss",
     "ifrnet_loss",
     "m2m_loss",

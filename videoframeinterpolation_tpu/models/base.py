@@ -26,3 +26,33 @@ def norm_w_rgb_mean(x0: Array, x1: Array) -> tuple[Array, Array, Array]:
 
 
 resize = scale_resize  # BaseModel.resize: bilinear, align_corners=True
+
+
+def multi_t_apply(model, params, x0: Array, x1: Array,
+                  ts: tuple) -> Array:
+    """All intermediate frames of one pair in a single traced program.
+
+    For models exposing the staged ``encode``/``decode`` API (the flagship
+    ``DATwConstantnC``): the t-invariant encoder pyramid runs ONCE, then
+    ``decode`` runs per instant — factor-N sequence upsampling pays one
+    encoder and one device dispatch per pair instead of one of each per
+    output frame. No reference counterpart (its eval scripts are
+    t=0.5-only); this is a TPU-first serving capability.
+
+    Args:
+      model: a flax module with ``encode``/``decode`` methods.
+      params: model variables.
+      x0, x1: ``(B, H, W, 3)``.
+      ts: static tuple of python floats in (0, 1).
+
+    Returns:
+      ``(len(ts), B, H, W, 3)`` predictions.
+    """
+    feats, mean = model.apply(params, x0, x1, method="encode")
+    B = x0.shape[0]
+    preds = [
+        model.apply(params, feats, mean,
+                    jnp.full((B, 1, 1, 1), t, jnp.float32), method="decode")
+        for t in ts
+    ]
+    return jnp.stack(preds)

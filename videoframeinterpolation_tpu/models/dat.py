@@ -129,6 +129,21 @@ class DATwConstantnC(nn.Module):
             nf, self.dec_res_blocks, dtype=self.dtype
         )
 
+    def encode(self, x0: Array, x1: Array):
+        """The t-invariant stage: normalization + shared-weight feature
+        pyramid on both frames batched together (2B).
+
+        Returned ``(feats, mean)`` feed :meth:`decode`; for factor-N
+        sequence upsampling the encoder runs ONCE per pair while decode
+        runs per interpolation instant (``interpolate.py --mode direct``).
+        """
+        x0n, x1n, mean = norm_w_rgb_mean(x0, x1)
+        if self.dtype is not None:
+            x0n = x0n.astype(self.dtype)
+            x1n = x1n.astype(self.dtype)
+        feats = self.feature_encoder(jnp.concatenate([x0n, x1n], axis=0))
+        return feats, mean
+
     def __call__(
         self, x0: Array, x1: Array, t: Array, train: bool = False
     ):
@@ -139,15 +154,14 @@ class DATwConstantnC(nn.Module):
           t: ``(B, 1, 1, 1)`` interpolation instant.
           train: if True also return intermediate flow pyramids for the loss.
         """
-        nf = self.nf
-        x0n, x1n, mean = norm_w_rgb_mean(x0, x1)
-        if self.dtype is not None:
-            x0n = x0n.astype(self.dtype)
-            x1n = x1n.astype(self.dtype)
+        feats, mean = self.encode(x0, x1)
+        return self.decode(feats, mean, t, train=train)
 
-        # Shared-weight encoder on both frames batched together (2B).
-        feats = self.feature_encoder(jnp.concatenate([x0n, x1n], axis=0))
-        B = x0.shape[0]
+    def decode(self, feats, mean, t: Array, train: bool = False):
+        """The t-dependent stage: query building, deformable cross-attention
+        pyramid, and the pixel generator."""
+        nf = self.nf
+        B = feats[0].shape[0] // 2
         (f0_1, f1_1), (f0_2, f1_2), (f0_3, f1_3), (f0_4, f1_4) = (
             (f[:B], f[B:]) for f in feats
         )
