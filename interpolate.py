@@ -6,7 +6,10 @@ Capabilities beyond the reference's eval scripts:
     (t=0.5 halving levels) or ``--mode direct``: every intermediate
     instant from the original pair in ONE device dispatch, encoder shared
     across instants (staged encode/decode models; any integer factor);
-  * spatially-tiled inference for HD/4K inputs (``--tile``).
+  * spatially-tiled inference for HD/4K inputs (``--tile``), in both
+    single-pair and sequence modes — direct mode decodes every instant
+    inside each tile's program, with the seam-safety overlap inflated to
+    cover instants near 0/1 sampling the full pair motion.
 
 Usage:
   python interpolate.py --config configs/DAT.yaml --ckpt <name> \
@@ -136,9 +139,6 @@ def main() -> None:
 
     # cheap argument validation before the (slow) model load
     if args.in_dir:
-        if args.mode == "direct" and args.tile:
-            raise SystemExit("--mode direct does not combine with --tile "
-                             "yet; use --mode recursive")
         if args.mode == "recursive" and args.factor & (args.factor - 1):
             raise SystemExit("--mode recursive needs a power-of-2 --factor; "
                              f"use --mode direct for factor {args.factor}")
@@ -163,13 +163,27 @@ def main() -> None:
             from videoframeinterpolation_tpu.models import multi_t_apply
 
             ts = tuple((i + 1) / args.factor for i in range(args.factor - 1))
-            multi_jit = jax.jit(
-                lambda p, a, b: multi_t_apply(model, p, a, b, ts))
+
+            def multi_apply(p, a, b):
+                return multi_t_apply(model, p, a, b, ts)
+
+            if args.tile:
+                from videoframeinterpolation_tpu.parallel.spatial import (
+                    make_flow_aware_multi_t,
+                )
+
+                multi_infer = make_flow_aware_multi_t(
+                    multi_apply, params, args.tile, ts,
+                    train_apply_fn=lambda p, a, b, tt, train: model.apply(
+                        p, a, b, tt, train=train),
+                )
+            else:
+                multi_jit = jax.jit(multi_apply)
+                multi_infer = lambda x0, x1: multi_jit(params, x0, x1)
             out = []
             for a, b in zip(seq[:-1], seq[1:]):
                 out.append(a)
-                out.extend(_interp_pair_direct(
-                    lambda x0, x1: multi_jit(params, x0, x1), a, b))
+                out.extend(_interp_pair_direct(multi_infer, a, b))
             out.append(seq[-1])
             seq = out
         else:

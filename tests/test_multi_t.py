@@ -71,3 +71,82 @@ def test_train_path_unchanged(tiny):
     pred, inter = model.apply(params, x0, x1, t, train=True)
     assert pred.shape == (1, 32, 32, 3)
     assert set(inter) == {"pred_ft0", "pred_ft1"}
+
+
+def test_tiled_multi_t_matches_full_local():
+    """For a purely local multi-instant 'model', the tile sweep must equal
+    the full-frame program up to blend arithmetic, per instant."""
+    from videoframeinterpolation_tpu.parallel.spatial import (
+        make_tiled_multi_t,
+    )
+
+    ts = (0.25, 0.5, 0.75)
+
+    def multi_apply(params, a, b):
+        return jnp.stack([(1.0 - tv) * a + tv * b for tv in ts])
+
+    x0 = jnp.asarray(RNG.uniform(0, 1, (1, 96, 128, 3)).astype(np.float32))
+    x1 = jnp.asarray(RNG.uniform(0, 1, (1, 96, 128, 3)).astype(np.float32))
+    tiled = make_tiled_multi_t(multi_apply, tile_hw=(48, 48), overlap=16,
+                               tile_batch=4)
+    out = np.asarray(tiled({}, x0, x1))
+    full = np.asarray(multi_apply({}, x0, x1))
+    assert out.shape == (3, 1, 96, 128, 3)
+    np.testing.assert_allclose(out, full, rtol=1e-5, atol=1e-5)
+
+
+def test_flow_aware_multi_t_routes_and_scales(tiny):
+    """Small frames route to the exact full-frame multi-t program; large
+    frames tile; the seam-safety scale covers instants near 0/1."""
+    from videoframeinterpolation_tpu.parallel.spatial import (
+        make_flow_aware_multi_t,
+    )
+
+    model, params, x0, x1, _ = tiny
+    ts = (0.25, 0.75)
+
+    def multi_apply(p, a, b):
+        return multi_t_apply(model, p, a, b, ts)
+
+    def train_fn(p, a, b, tt, train):
+        return model.apply(p, a, b, tt, train=train)
+
+    infer = make_flow_aware_multi_t(
+        multi_apply, params, 128, ts, train_apply_fn=train_fn,
+        tile_batch=2, verbose=False)
+    # 32x32 frame <= tile: byte-identical to the jitted full program.
+    np.testing.assert_array_equal(
+        np.asarray(infer(x0, x1)),
+        np.asarray(jax.jit(multi_apply)(params, x0, x1)))
+
+    # 96x160 frame > tile: the planner builds a tiled multi-t sweep
+    # (tile 128 leaves room for the init-weights plan, so this exercises
+    # the make_tiled_multi_t cache path, not the full-frame fallback).
+    X0 = jnp.asarray(RNG.uniform(0, 1, (1, 96, 160, 3)).astype(np.float32))
+    out = np.asarray(infer(X0, X0))
+    assert out.shape == (2, 1, 96, 160, 3)
+    assert np.isfinite(out).all()
+
+
+def test_flow_aware_multi_t_unsafe_plan_full():
+    """Motion too large for the tile routes to FULL-FRAME, loudly — the
+    multi-instant path inherits the round-3 failure-mode policy."""
+    import warnings as _w
+
+    from videoframeinterpolation_tpu.parallel.spatial import (
+        make_flow_aware_multi_t,
+    )
+
+    ts = (0.5,)
+
+    def multi_apply(params, a, b):
+        return jnp.stack([0.5 * (a + b)])
+
+    big = jnp.asarray(RNG.uniform(0, 1, (1, 96, 192, 3)).astype(np.float32))
+    full = np.asarray(jax.jit(multi_apply)(None, big, big))
+
+    infer = make_flow_aware_multi_t(
+        multi_apply, None, 64, ts, default_flow_px=200.0, verbose=False)
+    with pytest.warns(UserWarning, match="FULL-FRAME"):
+        out = np.asarray(infer(big, big))
+    np.testing.assert_array_equal(out, full)

@@ -277,41 +277,134 @@ def make_flow_aware_tiled(
         H, W = x0.shape[1:3]
         if max(H, W) <= tile or x0.shape[0] != 1:
             return full(params, x0, x1, t)
-        mag = default_flow_px
-        if probe is not None:
-            try:
-                mag = probe(params, x0, x1, t)
-            except (TypeError, KeyError) as e:
-                warnings.warn(
-                    f"flow probe unavailable ({type(e).__name__}: {e}); "
-                    f"falling back to default_flow_px={default_flow_px} — "
-                    f"motion beyond that may seam", stacklevel=2)
-        overlap, trim = required_overlap(mag)
-        if overlap > tile // 2:
-            # The tile cannot contain the sampling reach; a clamped plan
-            # WOULD seam. Never run it (VERDICT round-3 #5).
-            if unsafe_plan == "raise":
-                raise ValueError(
-                    f"estimated motion {mag:.0f}px needs overlap {overlap} "
-                    f"> tile/2 ({tile // 2}); use a larger --tile, or "
-                    f"halo sharding (make_sharded_infer) which has no "
-                    f"overlap assumption")
-            warnings.warn(
-                f"estimated motion {mag:.0f}px needs overlap {overlap} > "
-                f"tile/2 ({tile // 2}); running FULL-FRAME for this pair "
-                f"(seam-free; if it OOMs, use make_sharded_infer)",
-                stacklevel=2)
+        plan = _plan_tiles(probe, params, x0, x1, t, tile,
+                           default_flow_px=default_flow_px,
+                           unsafe_plan=unsafe_plan, verbose=verbose)
+        if plan is None:
             return full(params, x0, x1, t)
-        check_overlap(overlap, trim, mag, tile)
-        key = (overlap, trim)
-        if key not in cache:
+        if plan not in cache:
+            overlap, trim = plan
             if verbose:
-                print(f"tiling plan: flow~{mag:.0f}px -> tile {tile}, "
-                      f"overlap {overlap}, trim {trim}")
-            cache[key] = make_tiled_infer(
+                print(f"tiling plan: tile {tile}, overlap {overlap}, "
+                      f"trim {trim}")
+            cache[plan] = make_tiled_infer(
                 apply_fn, tile_hw=(tile, tile), overlap=overlap,
                 trim=trim, tile_batch=tile_batch, mesh=mesh)
-        return cache[key](params, x0, x1, t)
+        return cache[plan](params, x0, x1, t)
+
+    return infer
+
+
+def _plan_tiles(
+    probe: Optional[Callable],
+    params,
+    x0: Array,
+    x1: Array,
+    t: Array,
+    tile: int,
+    *,
+    default_flow_px: float,
+    unsafe_plan: str,
+    verbose: bool,
+    mag_scale: float = 1.0,
+) -> Optional[tuple[int, int]]:
+    """Pick a seam-safe ``(overlap, trim)`` for one pair, or None = full-frame.
+
+    Shared by the single-instant and multi-instant flow-aware paths; the
+    loud failure-mode policy (VERDICT round-3 #5) lives here. ``mag_scale``
+    inflates the probed t=0.5 flow magnitude — the multi-instant path uses
+    it because instants near 0 or 1 sample up to the FULL pair motion,
+    roughly twice the t=0.5 reading.
+    """
+    mag = default_flow_px
+    if probe is not None:
+        try:
+            mag = probe(params, x0, x1, t)
+        except (TypeError, KeyError) as e:
+            warnings.warn(
+                f"flow probe unavailable ({type(e).__name__}: {e}); "
+                f"falling back to default_flow_px={default_flow_px} — "
+                f"motion beyond that may seam", stacklevel=3)
+    mag = mag * mag_scale
+    overlap, trim = required_overlap(mag)
+    if overlap > tile // 2:
+        # The tile cannot contain the sampling reach; a clamped plan
+        # WOULD seam. Never run it (VERDICT round-3 #5).
+        if unsafe_plan == "raise":
+            raise ValueError(
+                f"estimated motion {mag:.0f}px needs overlap {overlap} "
+                f"> tile/2 ({tile // 2}); use a larger --tile, or "
+                f"halo sharding (make_sharded_infer) which has no "
+                f"overlap assumption")
+        warnings.warn(
+            f"estimated motion {mag:.0f}px needs overlap {overlap} > "
+            f"tile/2 ({tile // 2}); running FULL-FRAME for this pair "
+            f"(seam-free; if it OOMs, use make_sharded_infer)",
+            stacklevel=3)
+        return None
+    check_overlap(overlap, trim, mag, tile)
+    return overlap, trim
+
+
+def make_flow_aware_multi_t(
+    multi_apply_fn: Callable,
+    params,
+    tile: int,
+    ts: tuple,
+    *,
+    train_apply_fn: Optional[Callable] = None,
+    default_flow_px: float = 32.0,
+    tile_batch: int = 8,
+    mesh=None,
+    verbose: bool = True,
+    unsafe_plan: str = "full",
+) -> Callable:
+    """``infer(x0, x1) -> (T, 1, H, W, 3)`` — flow-aware tiled multi-instant.
+
+    The multi-instant analogue of ``make_flow_aware_tiled`` for sequence
+    upsampling on HD/4K frames (``interpolate.py --mode direct --tile``):
+    every intermediate instant of a pair is decoded inside each tile's
+    single traced program (encoder shared via the staged encode/decode
+    API), and tiles are planned per pair from the probed motion. The probe
+    runs at t=0.5, whose flow pyramids read about HALF the pair's total
+    motion; instants near 0 or 1 sample up to the full pair motion, so the
+    plan inflates the estimate by ``2 * max(max(ts), 1 - min(ts))``.
+
+    Args:
+      multi_apply_fn: ``(params, x0, x1) -> (T, B, H, W, 3)`` — e.g.
+        ``lambda p, a, b: multi_t_apply(model, p, a, b, ts)``.
+      ts: the static instants baked into ``multi_apply_fn`` (used only for
+        the seam-safety scale factor).
+      Other args as in ``make_flow_aware_tiled``.
+    """
+    if unsafe_plan not in ("full", "raise"):
+        raise ValueError(f"unsafe_plan must be 'full' or 'raise', "
+                         f"got {unsafe_plan!r}")
+    full = jax.jit(multi_apply_fn)
+    cache: dict = {}
+    probe = make_flow_probe(train_apply_fn) if train_apply_fn else None
+    mag_scale = 2.0 * max(max(ts), 1.0 - min(ts)) if ts else 1.0
+
+    def infer(x0: Array, x1: Array) -> Array:
+        H, W = x0.shape[1:3]
+        if max(H, W) <= tile or x0.shape[0] != 1:
+            return full(params, x0, x1)
+        t05 = jnp.full((x0.shape[0], 1, 1, 1), 0.5, jnp.float32)
+        plan = _plan_tiles(probe, params, x0, x1, t05, tile,
+                           default_flow_px=default_flow_px,
+                           unsafe_plan=unsafe_plan, verbose=verbose,
+                           mag_scale=mag_scale)
+        if plan is None:
+            return full(params, x0, x1)
+        if plan not in cache:
+            overlap, trim = plan
+            if verbose:
+                print(f"tiling plan (multi-t x{len(ts)}): tile {tile}, "
+                      f"overlap {overlap}, trim {trim}")
+            cache[plan] = make_tiled_multi_t(
+                multi_apply_fn, tile_hw=(tile, tile), overlap=overlap,
+                trim=trim, tile_batch=tile_batch, mesh=mesh)
+        return cache[plan](params, x0, x1)
 
     return infer
 
@@ -468,6 +561,91 @@ def make_tiled_infer(
                 (y, x, 0),
             )
         return (acc / norm)[None]
+
+    return tiled
+
+
+def make_tiled_multi_t(
+    multi_apply_fn: Callable,
+    *,
+    tile_hw: tuple[int, int] = (256, 256),
+    overlap: int = 64,
+    trim: Optional[int] = None,
+    tile_batch: int = 8,
+    mesh=None,
+) -> Callable:
+    """Multi-instant tile sweep: ONE compiled program, encoder shared.
+
+    Like ``make_tiled_infer`` but the per-tile apply decodes EVERY
+    interpolation instant of the pair (``multi_apply_fn`` wraps
+    ``multi_t_apply`` over a staged encode/decode model), so factor-N
+    sequence upsampling of HD frames pays one encoder pyramid per tile —
+    not one per (tile, instant) — and one device dispatch per pair.
+
+    Args:
+      multi_apply_fn: ``(params, x0, x1) -> (T, B, H, W, C)``.
+      Other args as in ``make_tiled_infer``.
+
+    Returns:
+      jitted ``tiled(params, x0, x1) -> (T, 1, H, W, C)``.
+    """
+
+    @jax.jit
+    def tiled(params, x0: Array, x1: Array) -> Array:
+        B, H, W, C = x0.shape
+        assert B == 1, "tile over one frame pair at a time"
+        th, tw, coords = _grid(H, W, tile_hw, overlap)
+        n = len(coords)
+
+        tiles0 = jnp.stack([x0[0, y:y + th, x:x + tw] for (y, x) in coords])
+        tiles1 = jnp.stack([x1[0, y:y + th, x:x + tw] for (y, x) in coords])
+        chunk = tile_batch if mesh is None else int(mesh.size)
+        n_pad = (math.ceil(n / chunk) * chunk) - n
+        if n_pad:
+            pad_idx = np.arange(n_pad) % n
+            tiles0 = jnp.concatenate([tiles0, tiles0[pad_idx]], axis=0)
+            tiles1 = jnp.concatenate([tiles1, tiles1[pad_idx]], axis=0)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sh = NamedSharding(mesh, PartitionSpec(None, mesh.axis_names[0]))
+            tsh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            tiles0 = jax.lax.with_sharding_constraint(tiles0, tsh)
+            tiles1 = jax.lax.with_sharding_constraint(tiles1, tsh)
+            preds = multi_apply_fn(params, tiles0, tiles1)  # (T, n+pad, ...)
+            preds = jax.lax.with_sharding_constraint(preds, sh)[:, :n]
+        else:
+            nc = (n + n_pad) // tile_batch
+            tiles0 = tiles0.reshape(nc, tile_batch, th, tw, C)
+            tiles1 = tiles1.reshape(nc, tile_batch, th, tw, C)
+            preds = jax.lax.map(
+                lambda pair: multi_apply_fn(params, pair[0], pair[1]),
+                (tiles0, tiles1),
+            )  # (nc, T, tile_batch, th, tw, C)
+            T = preds.shape[1]
+            preds = jnp.moveaxis(preds, 1, 0).reshape(
+                T, nc * tile_batch, th, tw, C)[:, :n]
+
+        T = preds.shape[0]
+        weights = jnp.asarray(
+            _blend_weights(coords, th, tw, H, W, overlap, trim), preds.dtype)
+        acc = jnp.zeros((T, H, W, C), preds.dtype)
+        norm = jnp.zeros((H, W, 1), preds.dtype)
+        for k, (y, x) in enumerate(coords):
+            acc = jax.lax.dynamic_update_slice(
+                acc,
+                jax.lax.dynamic_slice(acc, (0, y, x, 0), (T, th, tw, C))
+                + preds[:, k] * weights[k],
+                (0, y, x, 0),
+            )
+            norm = jax.lax.dynamic_update_slice(
+                norm,
+                jax.lax.dynamic_slice(norm, (y, x, 0), (th, tw, 1))
+                + weights[k],
+                (y, x, 0),
+            )
+        return (acc / norm)[:, None]
 
     return tiled
 
