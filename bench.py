@@ -213,6 +213,40 @@ def main() -> None:
                   "vs_baseline": None,
                   "ms_per_batch": round(sec * 1e3, 3)})
 
+        def dat_fast_direct():
+            # Factor-8 sequence serving: all 7 instants of a pair decoded
+            # in ONE program with the t-invariant encoder shared
+            # (models/base.py:multi_t_apply). The reference can only serve
+            # factor-N recursively — one full forward (~BASELINE_MS) per
+            # output frame — so vs_baseline compares per OUTPUT frame.
+            from videoframeinterpolation_tpu.models import (
+                create_model, multi_t_apply,
+            )
+
+            model = create_model(cfg_fast)
+            rng = np.random.default_rng(0)
+            x0 = jnp.asarray(
+                rng.uniform(0, 1, (1, 256, 448, 3)).astype(np.float32))
+            x1 = jnp.asarray(
+                rng.uniform(0, 1, (1, 256, 448, 3)).astype(np.float32))
+            t = jnp.full((1, 1, 1, 1), 0.5, jnp.float32)
+            params = model.init(jax.random.key(0), x0[:, :32, :32],
+                                x1[:, :32, :32], t)
+            ts = tuple((i + 1) / 8 for i in range(7))
+
+            def direct(p, a, b):
+                # mean-collapse the (7, B, H, W, 3) stack so the loop
+                # carry matches the frame operands
+                return jnp.mean(multi_t_apply(model, p, a, b, ts), axis=0)
+
+            sec = time_loop(direct, (params, x0, x1), n_hi=5, chain=2)
+            ms_frame = sec * 1e3 / 7
+            emit({"metric": "dat_fast_direct_f8_448x256_ms_per_output_frame",
+                  "value": round(ms_frame, 3), "unit": "ms",
+                  "vs_baseline": round(BASELINE_MS / ms_frame, 3),
+                  "ms_per_pair": round(sec * 1e3, 3),
+                  "n_instants": 7})
+
         def mfu():
             for key, cfg_arg, (H, W), B in (
                 ("dat_fast", str(_REPO / "configs" / "DAT_fast.yaml"),
@@ -236,6 +270,7 @@ def main() -> None:
                          ("ifrnet_b8", ifrnet_b8),
                          ("dat_fast_720p", dat_fast_720p),
                          ("dat_exact", dat_exact),
+                         ("dat_fast_direct", dat_fast_direct),
                          ("mfu", mfu)):
             if time.monotonic() - t_start > budget_s:
                 emit({"metric": name, "skipped": "time budget"})
