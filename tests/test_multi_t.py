@@ -128,6 +128,31 @@ def test_flow_aware_multi_t_routes_and_scales(tiny):
     assert np.isfinite(out).all()
 
 
+def test_mesh_sharded_multi_t_sweep_matches_sequential():
+    """Multi-instant tiles sharded over the 8-device mesh blend to the
+    same frames as the single-device lax.map sweep."""
+    from videoframeinterpolation_tpu.parallel import create_mesh
+    from videoframeinterpolation_tpu.parallel.spatial import (
+        make_tiled_multi_t,
+    )
+
+    ts = (1.0 / 3.0, 2.0 / 3.0)
+
+    def multi_apply(params, a, b):
+        return jnp.stack([(1.0 - tv) * a + tv * b for tv in ts])
+
+    x0 = jnp.asarray(RNG.uniform(0, 1, (1, 96, 128, 3)).astype(np.float32))
+    x1 = jnp.asarray(RNG.uniform(0, 1, (1, 96, 128, 3)).astype(np.float32))
+    mesh = create_mesh()
+    assert mesh.size == 8  # conftest forces 8 virtual CPU devices
+    seq = make_tiled_multi_t(multi_apply, tile_hw=(48, 48), overlap=16,
+                             tile_batch=4)({}, x0, x1)
+    par = make_tiled_multi_t(multi_apply, tile_hw=(48, 48), overlap=16,
+                             mesh=mesh)({}, x0, x1)
+    np.testing.assert_allclose(np.asarray(par), np.asarray(seq),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_flow_aware_multi_t_unsafe_plan_full():
     """Motion too large for the tile routes to FULL-FRAME, loudly — the
     multi-instant path inherits the round-3 failure-mode policy."""
