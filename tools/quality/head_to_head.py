@@ -36,16 +36,37 @@ honor_env_platform()
 import jax.numpy as jnp
 
 
-def build_pool(n_scenes: int, crop: tuple, seed: int, is_train: bool):
+def build_pool(n_scenes: int, crop: tuple, seed: int, is_train: bool,
+               **ds_kwargs):
     """Pre-generate a fixed scene pool (1-core host: generating ~64 ms/item
-    inline would starve the TPU; a pool makes both models' data identical)."""
+    inline would starve the TPU; a pool makes both models' data identical).
+    ``ds_kwargs`` pass through to ``SyntheticMotion`` (e.g. ``random_t`` as
+    a (lo, hi) range, or ``fixed_t`` for per-instant eval pools); the scene
+    geometry is t-independent, so pools differing only in t share scenes."""
     from videoframeinterpolation_tpu.data.synthetic import SyntheticMotion
 
     ds = SyntheticMotion(crop_hw=crop, is_train=is_train, seed=seed,
-                         num_items=n_scenes)
+                         num_items=n_scenes, **ds_kwargs)
     keys = ("x0", "x1", "xt", "t", "f0x", "f1x")
     items = [ds[i] for i in range(n_scenes)]
     return {k: np.stack([it[k] for it in items]) for k in keys}
+
+
+def recover_best(jsonl_path: Path) -> tuple[float, int]:
+    """Max held-out PSNR (and its step) over every eval event already in
+    the curve — the watermark a resumed run must not regress below."""
+    best_psnr, best_step = -1.0, -1
+    if jsonl_path.exists():
+        for line in jsonl_path.read_text().splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if (rec.get("event") == "eval"
+                    and rec.get("val_psnr", -1.0) > best_psnr):
+                best_psnr = float(rec["val_psnr"])
+                best_step = int(rec["step"])
+    return best_psnr, best_step
 
 
 def main():
@@ -77,6 +98,10 @@ def main():
                          "recovery attempt for DAT_fast's ~0.3 dB gap. "
                          "Train-time-only cost; inference untouched")
     ap.add_argument("--distill_w", type=float, default=0.5)
+    ap.add_argument("--teacher_nf", type=int, default=None,
+                    help="teacher width (default: --nf; set when the "
+                         "student width differs, e.g. the wide-channel "
+                         "TPU student distilled from the nf=72 teacher)")
     ap.add_argument("--teacher_shared", action="store_true",
                     help="teacher uses shared offsets (default: exact-parity"
                     " teacher architecture)")
@@ -114,6 +139,20 @@ def main():
                     help="generator residual blocks (reference parity 10; "
                          "the 720p profile puts the generator at ~18% of "
                          "HD latency — tools/perf/README.md)")
+    ap.add_argument("--random_t", default=None,
+                    help="train-pool t range 'lo,hi' (e.g. 0.125,0.875 to "
+                         "cover the factor-8 serving instants); held-out "
+                         "eval stays t=0.5 for cross-arm comparability — "
+                         "per-instant PSNR comes from eval_instants.py")
+    ap.add_argument("--stop_at", type=int, default=None,
+                    help="stop training at this step while keeping the "
+                         "--steps LR schedule (regenerates an early-curve "
+                         "best checkpoint byte-identically: same schedule, "
+                         "same batch stream, truncated run)")
+    ap.add_argument("--tag_suffix", default=None,
+                    help="appended to the result tag (separate jsonl/ckpt "
+                         "namespace, e.g. a best-regen run that must not "
+                         "touch the committed curve)")
     ap.add_argument("--out_dir", type=str,
                     default=str(Path(__file__).parent / "results"))
     args = ap.parse_args()
@@ -152,8 +191,13 @@ def main():
                + (("T" + "-".join(args.teacher_samples.split(",")))
                   if args.teacher_samples else ""))
               if args.distill_from else "")
+           + (f"_nf{args.nf}" if args.nf != 72 else "")
+           + (("_rt" + "-".join(x.replace("0.", "")
+                                for x in args.random_t.split(",")))
+              if args.random_t else "")
            + (f"_seed{args.seed}" if args.seed != 42 else "")
-           + (f"_{args.steps // 1000}k" if args.steps != 4000 else ""))
+           + (f"_{args.steps // 1000}k" if args.steps != 4000 else "")
+           + (args.tag_suffix or ""))
     out_path = out_dir / f"{tag}.jsonl"
 
     OFFSET_SETS = ((-2, -1, 0, 1, 2), (-4, -2, -1, 0, 1, 2, 4),
@@ -178,7 +222,9 @@ def main():
     crop = (args.crop, args.crop)
     print("generating scene pools ...", flush=True)
     t0 = time.perf_counter()
-    pool = build_pool(args.pool, crop, args.seed, is_train=True)
+    rt = (tuple(float(x) for x in args.random_t.split(","))
+          if args.random_t else False)
+    pool = build_pool(args.pool, crop, args.seed, is_train=True, random_t=rt)
     val = build_pool(args.eval_items, crop, args.seed, is_train=False)
     print(f"pools ready ({time.perf_counter() - t0:.0f}s)", flush=True)
 
@@ -202,7 +248,8 @@ def main():
 
         t_samples = (tuple(int(x) for x in args.teacher_samples.split(","))
                      if args.teacher_samples else (8, 16, 32))
-        t_cfg = Config(model_name=args.model, nf=args.nf,
+        t_cfg = Config(model_name=args.model,
+                       nf=args.teacher_nf or args.nf,
                        compute_dtype="bfloat16",
                        shared_offsets=bool(args.teacher_shared),
                        dat_samples=t_samples,
@@ -274,8 +321,10 @@ def main():
     import flax.serialization as fser
 
     ckpt_path = out_dir / f"{tag}.ckpt"
+    best_path = out_dir / f"{tag}.best.ckpt"
     sampler = np.random.Generator(np.random.PCG64(args.seed + 777))
     step0 = 0
+    best_psnr, best_step = -1.0, -1
     if args.resume and ckpt_path.exists():
         state = fser.from_bytes(state, ckpt_path.read_bytes())
         step0 = int(state.step)
@@ -283,7 +332,14 @@ def main():
         # to an uninterrupted run's.
         for _ in range(step0):
             sampler.integers(0, args.pool, size=args.batch)
-        emit({"event": "resume", "step": step0})
+        # Recover the best-PSNR watermark from the existing curve so the
+        # first post-resume eval cannot overwrite a better earlier best
+        # checkpoint (round-4 bug: the exact-parity 24k arm's committed
+        # "best" was step 20500 @ 37.98 while the curve's true best was
+        # 38.18 @ 15500 — VERDICT r4 weak #1).
+        best_psnr, best_step = recover_best(out_path)
+        emit({"event": "resume", "step": step0,
+              "best_psnr": best_psnr, "best_step": best_step})
     else:
         emit({"event": "start", "n_params": n_params, "steps": args.steps,
               "batch": args.batch, "crop": args.crop, "pool": args.pool,
@@ -294,13 +350,11 @@ def main():
         tmp.write_bytes(fser.to_bytes(jax.device_get(state)))
         tmp.rename(path)
 
-    best_path = out_dir / f"{tag}.best.ckpt"
-    best_psnr = -1.0
-
+    run_until = min(args.steps, args.stop_at) if args.stop_at else args.steps
     t_start = time.perf_counter()
     loss_acc, n_acc = 0.0, 0
     step = step0
-    while step < args.steps:
+    while step < run_until:
         idx = [sampler.integers(0, args.pool, size=args.batch)
                for _ in range(args.chunk)]
         if pool_dev is not None:
@@ -316,7 +370,7 @@ def main():
         step += args.chunk
         loss_acc += float(jnp.sum(logs["total_loss"]))
         n_acc += args.chunk
-        if step % args.eval_every == 0 or step >= args.steps:
+        if step % args.eval_every == 0 or step >= run_until:
             p = held_out_psnr(state.params)
             emit({"event": "eval", "step": step,
                   "train_loss": round(loss_acc / n_acc, 5),
@@ -328,11 +382,13 @@ def main():
                 # Best-PSNR snapshot: the distillation teacher should be
                 # the best model along the curve, not the last step
                 # (round-3 exact arm peaked at 12k of 18k).
-                best_psnr = p
+                best_psnr, best_step = p, step
                 save_ckpt(state, best_path)
 
     final = held_out_psnr(state.params)
-    emit({"event": "final", "step": step, "val_psnr": round(final, 4),
+    emit({"event": "final" if step >= args.steps else "stop",
+          "step": step, "val_psnr": round(final, 4),
+          "best_psnr": best_psnr, "best_step": best_step,
           "elapsed_s": round(time.perf_counter() - t_start, 1)})
     log_f.close()
 

@@ -159,7 +159,8 @@ class SyntheticMotion:
         max_rot_deg: float = 4.0,
         n_fg_range: tuple[int, int] = (1, 3),
         flow_in_pixels: bool = False,
-        random_t: bool = False,
+        random_t: bool | tuple[float, float] = False,
+        fixed_t: float | None = None,
     ):
         del root
         self.crop_hw = tuple(crop_hw)
@@ -170,7 +171,15 @@ class SyntheticMotion:
         self.max_rot_deg = max_rot_deg
         self.n_fg_range = n_fg_range
         self.flow_scale = 1.0 if flow_in_pixels else 1.0 / 255.0
-        self.random_t = random_t
+        # random_t: False → t=0.5 (reference Vimeo90K protocol,
+        # data/Vimeo90K.py:37); True → uniform in (0.3, 0.7) (legacy);
+        # (lo, hi) tuple → uniform in that range (e.g. (0.125, 0.875)
+        # covers the factor-8 serving instants). fixed_t overrides both
+        # WITHOUT consuming the rng draw, so per-instant eval pools built
+        # at different fixed_t share byte-identical scene geometry.
+        self.t_range = ((0.3, 0.7) if random_t is True
+                        else tuple(random_t) if random_t else None)
+        self.fixed_t = fixed_t
 
     def __len__(self) -> int:
         return self.num_items
@@ -243,7 +252,12 @@ class SyntheticMotion:
         rng = self._item_rng(idx)
         H, W = self.crop_hw
         layers = self._build_scene(rng, H, W)
-        t = float(rng.uniform(0.3, 0.7)) if self.random_t else 0.5
+        if self.fixed_t is not None:
+            t = float(self.fixed_t)
+        elif self.t_range is not None:
+            t = float(rng.uniform(*self.t_range))
+        else:
+            t = 0.5
 
         yy, xx = np.meshgrid(
             np.arange(H, dtype=np.float64), np.arange(W, dtype=np.float64),
