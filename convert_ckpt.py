@@ -49,10 +49,14 @@ def _build(cfg):
 
 def _check_exportable(cfg, *, to_torch: bool) -> str:
     """Return the interop family key, raising for unsupported variants."""
+    # Exact registry names only: substring routing sent DCNDATv1/MADATv1/
+    # DATwConstantnCTPU configs into the flagship mapper, which then died
+    # deep inside the param tree with an opaque KeyError instead of the
+    # clean rejection below (ADVICE r4).
     name = cfg.model_name
-    if "IFRNet" in name:
+    if name == "IFRNet":
         return "ifrnet"
-    if "DAT" in name:
+    if name in ("DATwConstantnCv1", "DATwConstantnC"):
         if getattr(cfg, "shared_offsets", False):
             raise SystemExit(
                 "shared_offsets variants (configs/DAT_fast*.yaml) "

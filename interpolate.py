@@ -142,6 +142,11 @@ def main() -> None:
         if args.mode == "recursive" and args.factor & (args.factor - 1):
             raise SystemExit("--mode recursive needs a power-of-2 --factor; "
                              f"use --mode direct for factor {args.factor}")
+        if args.mode == "direct" and args.factor < 2:
+            # factor 1 would build an empty instant tuple and crash inside
+            # multi_t_apply's jnp.stack([]) after the slow model load.
+            raise SystemExit("--mode direct needs --factor >= 2 "
+                             "(factor 1 inserts no frames)")
 
     import imageio.v2 as imageio
 

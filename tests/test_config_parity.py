@@ -62,7 +62,16 @@ def test_reference_config_loads_and_builds(path):
     ids=[str(p.relative_to(p.parents[1])) for p in REPO_CONFIGS],
 )
 def test_repo_config_loads_and_builds(path):
-    cfg = Config.from_yaml(path)
+    if path.name == "DAT_fast_distill.yaml":
+        # The distillation recipe intentionally ships without a default
+        # teacher (ADVICE r4: a Vimeo90K student must not silently
+        # distill toward the out-of-domain synthetic-data study teacher)
+        # and must fail loudly until one is set.
+        with pytest.raises(ValueError, match="teacher_ckpt"):
+            Config.from_yaml(path)
+        cfg = Config.from_yaml(path, teacher_ckpt="exps/teacher/ckpt")
+    else:
+        cfg = Config.from_yaml(path)
     _tiny_forward(cfg)
 
 

@@ -156,3 +156,31 @@ def test_dat_flax_to_torch_forward_parity(monkeypatch):
                            torch.from_numpy(t)).numpy()
     err = np.abs(_nchw(yj) - yt)
     assert err.max() < 1e-3 and err.mean() < 1e-5, (err.max(), err.mean())
+
+
+def test_convert_cli_rejects_non_flagship_dat_variants():
+    """Registry-exact routing (ADVICE r4): DCNDATv1 / MADATv1 /
+    DATwConstantnCTPU contain 'DAT' but have no converter — they must get
+    the clean SystemExit, not a KeyError deep inside the param mapper."""
+    import importlib.util
+    from pathlib import Path
+
+    import pytest
+
+    from videoframeinterpolation_tpu.config import Config
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_ckpt",
+        Path(__file__).resolve().parents[1] / "convert_ckpt.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    for name in ("DCNDATv1", "MADATv1", "DATwConstantnCTPU", "RSTTv1"):
+        with pytest.raises(SystemExit, match="no converter"):
+            mod._check_exportable(Config(model_name=name), to_torch=True)
+    # The two supported families still route (flagship alias + canonical).
+    assert mod._check_exportable(
+        Config(model_name="IFRNet"), to_torch=True) == "ifrnet"
+    for flag in ("DATwConstantnCv1", "DATwConstantnC"):
+        cfg = Config(model_name=flag, dat_ref_offset_units=True)
+        assert mod._check_exportable(cfg, to_torch=True) == "dat"

@@ -22,6 +22,12 @@ def main() -> None:
                              "(e.g. 'latest')")
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed for multi-host pods")
+    parser.add_argument("--set", dest="overrides", action="append",
+                        default=[], metavar="KEY=VALUE",
+                        help="config-field override, YAML-parsed; repeatable"
+                             " (e.g. --set teacher_ckpt=exps/teacher/"
+                             "checkpoints/best_vimeo90k --set "
+                             "'dat_samples=[8, 16, 8]')")
     args = parser.parse_args()
 
     from videoframeinterpolation_tpu.utils.platform import honor_env_platform
@@ -36,7 +42,15 @@ def main() -> None:
     from videoframeinterpolation_tpu.config import Config
     from videoframeinterpolation_tpu.train.trainer import Trainer
 
-    cfg = Config.from_yaml(args.config, exp_name=args.exp_name)
+    import yaml
+
+    overrides = {}
+    for kv in args.overrides:
+        key, sep, value = kv.partition("=")
+        if not sep:
+            raise SystemExit(f"--set expects KEY=VALUE, got {kv!r}")
+        overrides[key] = yaml.safe_load(value)
+    cfg = Config.from_yaml(args.config, exp_name=args.exp_name, **overrides)
     trainer = Trainer(cfg)
     if args.resume:
         trainer.resume(args.resume)

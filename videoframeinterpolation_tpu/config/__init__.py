@@ -146,6 +146,18 @@ class Config:
             self.channels = tuple(self.channels)
         if isinstance(self.depths, list):
             self.depths = tuple(self.depths)
+        if self.teacher_overrides and not self.teacher_ckpt:
+            # A distillation config loaded without its teacher must fail
+            # loudly, not silently train the plain recipe (ADVICE r4: the
+            # shipped default also risked distilling toward an
+            # out-of-domain teacher — the recipe now requires an explicit
+            # teacher_ckpt; see configs/DAT_fast_distill.yaml).
+            raise ValueError(
+                "teacher_overrides is set but teacher_ckpt is not: this "
+                "config declares teacher distillation, so train the "
+                "teacher first (two-stage recipe in "
+                "configs/DAT_fast_distill.yaml) and set teacher_ckpt, or "
+                "remove teacher_overrides for a plain run")
 
     @classmethod
     def from_yaml(cls, path: str | Path, **overrides: Any) -> "Config":

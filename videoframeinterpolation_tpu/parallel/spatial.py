@@ -279,7 +279,7 @@ def make_flow_aware_tiled(
             return full(params, x0, x1, t)
         plan = _plan_tiles(probe, params, x0, x1, t, tile,
                            default_flow_px=default_flow_px,
-                           unsafe_plan=unsafe_plan, verbose=verbose)
+                           unsafe_plan=unsafe_plan)
         if plan is None:
             return full(params, x0, x1, t)
         if plan not in cache:
@@ -305,7 +305,6 @@ def _plan_tiles(
     *,
     default_flow_px: float,
     unsafe_plan: str,
-    verbose: bool,
     mag_scale: float = 1.0,
 ) -> Optional[tuple[int, int]]:
     """Pick a seam-safe ``(overlap, trim)`` for one pair, or None = full-frame.
@@ -392,8 +391,7 @@ def make_flow_aware_multi_t(
         t05 = jnp.full((x0.shape[0], 1, 1, 1), 0.5, jnp.float32)
         plan = _plan_tiles(probe, params, x0, x1, t05, tile,
                            default_flow_px=default_flow_px,
-                           unsafe_plan=unsafe_plan, verbose=verbose,
-                           mag_scale=mag_scale)
+                           unsafe_plan=unsafe_plan, mag_scale=mag_scale)
         if plan is None:
             return full(params, x0, x1)
         if plan not in cache:
