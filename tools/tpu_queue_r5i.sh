@@ -1,6 +1,12 @@
 #!/bin/bash
-# Round-5 TPU queue, revision H (supersedes r5g before its first TPU
-# stage fired).
+# Round-5 TPU queue, revision I (supersedes r5h before its first TPU
+# stage fired). On top of r5h's changes, the TPU tunnel stalled at
+# 05:11 with the r5f regen leg at step 2000 (client blocked in a futex
+# on an RPC that never returned; the stall predates any driver kill).
+# That makes the exact-best regen leg cost ~8.2 ks from its last saved
+# ckpt — so it moves BEHIND the rt arm + per-instant eval and gates
+# DYNAMICALLY on the time actually needed from wherever the curve
+# stopped, instead of burning a fixed budget it cannot finish in.
 #
 # Two discoveries forced the rebudget:
 #  - The r5f exact-best regen restarted from step 0 (its resume ckpt was
@@ -48,7 +54,7 @@ has_final() { [ -f "$1" ] && grep -q '"event": "final"' "$1"; }
 has_stop() { [ -f "$1" ] && grep -qE '"event": "(final|stop)"' "$1"; }
 has_eval() { [ -f "$1" ] && grep -q '"event": "eval"' "$1"; }
 
-say "queue r5h starting ($(left)s to deadline)"
+say "queue r5i starting ($(left)s to deadline)"
 
 # 0. Wait for the r5f regen stage (orphaned after its driver was killed)
 #    to hit its own 4500 s timeout; one TPU process at a time. PID given
@@ -124,13 +130,53 @@ else:
 EOF
 else say "stage w1best_regen: skip"; fi
 
-# 4. Finish the exact-best regen (resume from the r5f leg's last
-#    periodic ckpt; watermark recovery keeps earlier bests). Runs
-#    before the rt arm because a PARTIAL regen is useless (the guard
-#    needs step 15500) while a partial rt arm is still usable.
+# 4. Multi-instant arm: distilled w=1.0 with the training-pool t drawn
+#    uniformly from [0.125, 0.875] (covers the factor-8 serving grid);
+#    held-out eval stays t=0.5 for cross-arm comparability. A
+#    deadline-truncated partial is still usable at its best eval.
+J="$RES/DATwConstantnCv1_shared_s8-8-2_distill1.0T8-16-8_rt125-875_24k.jsonl"
+if ! has_eval "$J"; then rm -f "$J"; fi
+if ! has_final "$J" && [ "$(left)" -ge 2400 ]; then
+  B=$(( $(left) - 1500 )); [ "$B" -gt 3600 ] && B=3600
+  [ "$B" -lt 1800 ] && B=1800
+  say "stage rt_arm: START (budget ${B}s)"
+  timeout "$B" python tools/quality/head_to_head.py \
+    --model DATwConstantnCv1 --shared --samples 8,8,2 --steps 24000 \
+    --random_t 0.125,0.875 --distill_from "$TEACHER" \
+    --teacher_shared --teacher_samples 8,16,8 --distill_w 1.0 --resume \
+    > "$LOG/rt_arm.log" 2>&1
+  say "stage rt_arm: rc=$? (tail: $(tail -1 "$LOG/rt_arm.log" 2>/dev/null | cut -c1-160))"
+else say "stage rt_arm: skip"; fi
+
+# 5. Per-instant PSNR/SSIM: shipped (t=0.5 trained) w=1.0 best vs the
+#    rt arm's best — quantifies the t-extrapolation penalty.
+RTBEST="$RES/DATwConstantnCv1_shared_s8-8-2_distill1.0T8-16-8_rt125-875_24k.best.ckpt"
+G2=()
+[ -f "$W1BEST" ] && G2+=("$W1BEST")
+[ -f "$RTBEST" ] && G2+=("$RTBEST")
+if [ "${#G2[@]}" -gt 0 ] && [ "$(left)" -ge 1200 ] \
+   && ! grep -q "rt125-875" "$RES/eval_instants.jsonl" 2>/dev/null; then
+  B=$(( $(left) - 90 )); [ "$B" -gt 2400 ] && B=2400
+  say "stage instants (${#G2[@]} ckpts): START (budget ${B}s)"
+  timeout "$B" python tools/quality/eval_instants.py \
+    --ckpt "${G2[@]}" --shared --samples 8,8,2 \
+    > "$LOG/instants.log" 2>&1
+  say "stage instants: rc=$? (tail: $(tail -1 "$LOG/instants.log" 2>/dev/null | cut -c1-200))"
+else say "stage instants: skip"; fi
+
+# 6. Finish the exact-best regen (resume from the last periodic ckpt;
+#    watermark recovery keeps earlier bests). A PARTIAL regen is
+#    useless (the guard needs step 15500), so the stage computes the
+#    time it actually needs from the curve's last eval step (0.54
+#    s/step + ~1 ks startup) and skips outright if that does not fit —
+#    no fixed budget to burn without finishing.
 RJ="$RES/DATwConstantnCv1_24k_regenbest.jsonl"
-if ! has_stop "$RJ" && [ "$(left)" -ge 5300 ]; then
-  B=$(( $(left) - 120 )); [ "$B" -gt 6100 ] && B=6100
+LASTSTEP=$(grep '"event": "eval"' "$RJ" 2>/dev/null | tail -1 \
+           | sed 's/.*"step": \([0-9]*\).*/\1/')
+LASTSTEP=${LASTSTEP:-0}
+NEED=$(( (15500 - LASTSTEP) * 54 / 100 + 1100 ))
+if ! has_stop "$RJ" && [ "$(left)" -ge $(( NEED + 150 )) ]; then
+  B=$(( NEED + 400 )); MAXB=$(( $(left) - 120 )); [ "$B" -gt "$MAXB" ] && B=$MAXB
   say "stage regen_finish: START (budget ${B}s)"
   timeout "$B" python tools/quality/head_to_head.py \
     --model DATwConstantnCv1 --steps 24000 --stop_at 15500 \
@@ -158,41 +204,7 @@ else:
     print(f"regen NOT restored (best {best} @ {step})")
 EOF
 
-# 5. Multi-instant arm: distilled w=1.0 with the training-pool t drawn
-#    uniformly from [0.125, 0.875] (covers the factor-8 serving grid);
-#    held-out eval stays t=0.5 for cross-arm comparability. A
-#    deadline-truncated partial is still usable at its best eval.
-J="$RES/DATwConstantnCv1_shared_s8-8-2_distill1.0T8-16-8_rt125-875_24k.jsonl"
-if ! has_eval "$J"; then rm -f "$J"; fi
-if ! has_final "$J" && [ "$(left)" -ge 2400 ]; then
-  B=$(( $(left) - 1500 )); [ "$B" -gt 3600 ] && B=3600
-  [ "$B" -lt 1800 ] && B=1800
-  say "stage rt_arm: START (budget ${B}s)"
-  timeout "$B" python tools/quality/head_to_head.py \
-    --model DATwConstantnCv1 --shared --samples 8,8,2 --steps 24000 \
-    --random_t 0.125,0.875 --distill_from "$TEACHER" \
-    --teacher_shared --teacher_samples 8,16,8 --distill_w 1.0 --resume \
-    > "$LOG/rt_arm.log" 2>&1
-  say "stage rt_arm: rc=$? (tail: $(tail -1 "$LOG/rt_arm.log" 2>/dev/null | cut -c1-160))"
-else say "stage rt_arm: skip"; fi
-
-# 6. Per-instant PSNR/SSIM: shipped (t=0.5 trained) w=1.0 best vs the
-#    rt arm's best — quantifies the t-extrapolation penalty.
-RTBEST="$RES/DATwConstantnCv1_shared_s8-8-2_distill1.0T8-16-8_rt125-875_24k.best.ckpt"
-G2=()
-[ -f "$W1BEST" ] && G2+=("$W1BEST")
-[ -f "$RTBEST" ] && G2+=("$RTBEST")
-if [ "${#G2[@]}" -gt 0 ] && [ "$(left)" -ge 1200 ] \
-   && ! grep -q "rt125-875" "$RES/eval_instants.jsonl" 2>/dev/null; then
-  B=$(( $(left) - 90 )); [ "$B" -gt 2400 ] && B=2400
-  say "stage instants (${#G2[@]} ckpts): START (budget ${B}s)"
-  timeout "$B" python tools/quality/eval_instants.py \
-    --ckpt "${G2[@]}" --shared --samples 8,8,2 \
-    > "$LOG/instants.log" 2>&1
-  say "stage instants: rc=$? (tail: $(tail -1 "$LOG/instants.log" 2>/dev/null | cut -c1-200))"
-else say "stage instants: skip"; fi
-
-# 7. Slack-only probes (fire only if earlier stages skipped/ran short).
+# 7. Slack-only probes (fire only if earlier stages skipped/ran short) (fire only if earlier stages skipped/ran short).
 if [ ! -f "$LOG/ifrnet_sweep.json" ] && [ "$(left)" -ge 1500 ]; then
   B=$(( $(left) - 90 )); [ "$B" -gt 3600 ] && B=3600
   say "stage ifrnet_sweep: START (budget ${B}s)"
@@ -223,4 +235,4 @@ if [ -f "$W1BEST" ] && ! has_final "$J" && [ "$(left)" -ge 3000 ]; then
   say "stage progressive_24k: rc=$? (tail: $(tail -1 "$LOG/progressive_24k.log" 2>/dev/null | cut -c1-160))"
 else say "stage progressive_24k: skip"; fi
 
-say "queue r5h complete ($(left)s to deadline)"
+say "queue r5i complete ($(left)s to deadline)"
