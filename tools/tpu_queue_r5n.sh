@@ -17,7 +17,7 @@ mkdir -p "$LOG"
 RES=tools/quality/results
 W1BEST="$RES/DATwConstantnCv1_shared_s8-8-2_distill1.0T8-16-8_24k.best.ckpt"
 TEACHER="configs/teachers/DATwConstantnCv1_shared_s8-16-8.best.ckpt"
-DEADLINE=$(date -d "2026-08-20 15:00" +%s)
+DEADLINE=$(date -d "2026-08-20 15:10" +%s)
 STALL_S=600
 
 stamp() { date "+%H:%M:%S"; }
@@ -75,6 +75,28 @@ train_stage() {
 }
 
 say "queue r5n starting ($(left)s to deadline)"
+
+# 0. Per-instant PSNR/SSIM (retries, unlike r5m's one-shot): the r5m
+#    attempt hit a backend stall mid-compile and was budget-killed.
+#    eval_instants appends one row per (ckpt, t); done when the rt
+#    checkpoint's rows are present. First prints can lag ~10 min
+#    (7 pools + two remote compiles), so rc=125 stall kills just retry.
+RTBEST="$RES/DATwConstantnCv1_shared_s8-8-2_distill1.0T8-16-8_rt125-875_24k.best.ckpt"
+EI="$RES/eval_instants.jsonl"
+tries=0
+while [ -f "$W1BEST" ] && [ -f "$RTBEST" ]; do
+  if grep -q "rt125-875" "$EI" 2>/dev/null; then say "stage instants: done"; break; fi
+  if [ "$(left)" -lt 1500 ] || [ "$tries" -ge 3 ]; then say "stage instants: skip"; break; fi
+  B=$(( $(left) - 120 )); [ "$B" -gt 2400 ] && B=2400
+  say "stage instants: START try=$tries (budget ${B}s)"
+  STALL_S=1200   # legit silent window: 7 pools + two remote compiles
+  run_watched "$B" "$LOG/instants.log" \
+    python tools/quality/eval_instants.py \
+      --ckpt "$W1BEST" "$RTBEST" --shared --samples 8,8,2
+  say "stage instants: rc=$? (tail: $(tail -1 "$LOG/instants.log" 2>/dev/null | cut -c1-200))"
+  STALL_S=600
+  tries=$(( tries + 1 ))
+done
 
 # 1. Extend the seed-123 exact arm 6000 -> 15000 (its stop-event at
 #    6000 is superseded; --resume continues from the step-6000 ckpt).
