@@ -11,6 +11,17 @@ Capabilities beyond the reference's eval scripts:
     inside each tile's program, with the seam-safety overlap inflated to
     cover instants near 0/1 sampling the full pair motion.
 
+Quality guidance for off-center instants (measured, BENCH_NOTES round-5
+per-instant table): checkpoints trained at the reference's fixed t=0.5
+degrade symmetrically away from the center — -10 dB PSNR at t=1/8 and
+7/8 on the factor-8 grid — so ``--mode direct`` with the shipped recipe
+is only quality-validated at t=0.5. For direct multi-instant serving,
+train with ``random_t`` spanning the served grid (e.g.
+``tools/quality/head_to_head.py --random_t 0.125,0.875``), which costs
+~2 dB at the center instant but covers the grid; otherwise prefer the
+default recursive mode, which decodes every frame at the validated
+t=0.5.
+
 Usage:
   python interpolate.py --config configs/DAT.yaml --ckpt <name> \
       --frame0 a.png --frame1 b.png --out out.png [--t 0.5] [--tile 512]
